@@ -1,0 +1,98 @@
+"""GGUF reader/writer round-trip + dequantization tests."""
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.io.gguf import (
+    GGML_F16, GGML_F32, GGML_Q8_0, GGUFReader, GGUFWriter,
+    dequantize, quantize_q8_0,
+)
+
+
+def test_roundtrip_metadata_and_tensors(tmp_path, rng):
+    w = GGUFWriter("qwen3-tts")
+    w.add("qwen3-tts.block_count", 28)
+    w.add("qwen3-tts.rope.freq_base", 1e6)
+    w.add("qwen3-tts.rope.mrope_section", [24, 20, 20])
+    w.add("tokenizer.ggml.tokens", ["a", "b", "Ġhello"])
+    w.add("general.name", "test-model")
+    w.add("some.bool", True)
+
+    a = rng.standard_normal((8, 16)).astype(np.float32)
+    b = rng.standard_normal((4, 32)).astype(np.float32)
+    w.add_tensor("talker.blk.0.attn_q.weight", a, GGML_F32)
+    w.add_tensor("talker.blk.0.attn_k.weight", b, GGML_F16)
+
+    path = str(tmp_path / "test.gguf")
+    w.write(path)
+
+    with GGUFReader(path) as r:
+        assert r.get("qwen3-tts.block_count") == 28
+        assert r.get("qwen3-tts.rope.freq_base") == pytest.approx(1e6)
+        assert r.get("qwen3-tts.rope.mrope_section") == [24, 20, 20]
+        assert r.get("tokenizer.ggml.tokens") == ["a", "b", "Ġhello"]
+        assert r.get("general.name") == "test-model"
+        assert r.get("some.bool") is True
+
+        ra = r.tensor_data("talker.blk.0.attn_q.weight")
+        assert ra.shape == (8, 16)
+        np.testing.assert_array_equal(ra, a)
+
+        rb = r.tensor_data("talker.blk.0.attn_k.weight")
+        assert rb.shape == (4, 32)
+        np.testing.assert_allclose(rb, a.astype(np.float16).astype(np.float32)[:0].sum() +
+                                   b.astype(np.float16).astype(np.float32), rtol=0)
+
+
+def test_get_any_fallback_chain(tmp_path):
+    w = GGUFWriter("qwen3-tts")
+    w.add("qwen3-tts.embedding_length", 1024)
+    path = str(tmp_path / "m.gguf")
+    w.write(path)
+    with GGUFReader(path) as r:
+        v = r.get_any(["qwen3-tts.talker.embedding_length",
+                       "qwen3-tts.embedding_length"], 0)
+        assert v == 1024
+        assert r.get_any(["missing.key"], 42) == 42
+
+
+def test_q8_0_roundtrip(rng):
+    x = rng.standard_normal(256).astype(np.float32) * 3.0
+    raw = quantize_q8_0(x)
+    y = dequantize(raw, GGML_Q8_0, 256)
+    # Q8_0 is ~7-bit relative precision per 32-block
+    np.testing.assert_allclose(y, x, atol=np.abs(x).max() / 100.0)
+
+
+def test_q4_0_dequant_known_block():
+    # Hand-built single Q4_0 block: d=0.5, quants 0..15 twice
+    import struct
+    d = np.float16(0.5).tobytes()
+    qs = bytes((i | (i << 4)) for i in range(16))  # lo nibble=i, hi nibble=i
+    raw = d + qs
+    y = dequantize(np.frombuffer(raw, dtype=np.uint8), 2, 32)  # GGML_Q4_0
+    expected = np.concatenate([np.arange(16), np.arange(16)]).astype(np.float32)
+    expected = (expected - 8.0) * 0.5
+    np.testing.assert_allclose(y, expected)
+
+
+def test_q4_k_dequant_roundtrip_structure():
+    # Build one Q4_K superblock with unit scales and check the value formula
+    raw = np.zeros(144, dtype=np.uint8)
+    raw[0:2] = np.frombuffer(np.float16(1.0).tobytes(), dtype=np.uint8)  # d
+    raw[2:4] = np.frombuffer(np.float16(0.0).tobytes(), dtype=np.uint8)  # dmin
+    # scales: set 6-bit scale of sub-block 0 to 2, others to 1
+    scales = np.zeros(12, dtype=np.uint8)
+    scales[0] = 2
+    for j in range(1, 4):
+        scales[j] = 1
+    for j in range(4, 8):
+        scales[j + 4] = (scales[j + 4] & 0xF0) | 1  # low nibble -> sc
+    raw[4:16] = scales
+    # quants: all nibbles = 3
+    raw[16:144] = 0x33
+    y = dequantize(raw, 12, 256)  # GGML_Q4_K
+    assert y.shape == (256,)
+    np.testing.assert_allclose(y[:32], 2 * 3.0)   # sub-block 0: d*sc*q = 1*2*3
+    np.testing.assert_allclose(y[32:64], 1 * 3.0)
+    np.testing.assert_allclose(y[128:], 3.0)      # sub-blocks 4..7 sc=1
