@@ -1,0 +1,130 @@
+"""Qwen2-style decoder stack (shared by talker and code predictor).
+
+The reference builds one GGML graph per call over 28 unrolled layers
+(tts_transformer.cpp:1233-1512); here the stack is a single lax.scan over a
+stacked-weights pytree, jitted once, batched over streams.
+
+Layer recipe (tts_transformer.cpp:1266-1356):
+  x -> RMSNorm -> {Q,K,V} proj -> per-head q/k RMSNorm -> NEOX RoPE ->
+  causal GQA attention -> o_proj -> +residual ->
+  RMSNorm -> SwiGLU -> +residual
+
+KV cache layout: [n_layers, 2, B, S, n_kv, D] (bf16 in HBM), the functional
+equivalent of the reference's F16 per-layer cache tensors
+(tts_transformer.cpp:794-842).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (
+    gqa_attention_prefill,
+    gqa_attention_step,
+    rms_norm,
+    rope_neox,
+    swiglu,
+)
+
+CACHE_DTYPE = jnp.bfloat16
+
+
+def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
+                  head_dim: int) -> jax.Array:
+    return jnp.zeros((n_layers, 2, batch, max_ctx, n_kv, head_dim), CACHE_DTYPE)
+
+
+def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
+         eps: float, theta: float, positions: jax.Array):
+    """Project + per-head norm + RoPE. x_norm: [B,T,H] f32."""
+    B, T = x_norm.shape[0], x_norm.shape[1]
+    xb = x_norm.astype(wl["wq"].dtype)
+    q = jnp.dot(xb, wl["wq"], preferred_element_type=jnp.float32)
+    k = jnp.dot(xb, wl["wk"], preferred_element_type=jnp.float32)
+    v = jnp.dot(xb, wl["wv"], preferred_element_type=jnp.float32)
+    q = q.reshape(B, T, n_heads, head_dim)
+    k = k.reshape(B, T, n_kv, head_dim)
+    v = v.reshape(B, T, n_kv, head_dim)
+    # Per-head q/k RMSNorm before RoPE (tts_transformer.cpp:1280-1288)
+    q = rms_norm(q, wl["q_norm"], eps)
+    k = rms_norm(k, wl["k_norm"], eps)
+    q = rope_neox(q, positions, theta)
+    k = rope_neox(k, positions, theta)
+    return q, k, v
+
+
+def _ffn(wl, x: jax.Array, eps: float) -> jax.Array:
+    h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gate"].dtype)
+    return swiglu(h, wl["w_gate"], wl["w_up"], wl["w_down"])
+
+
+def stack_prefill(layers_w, x: jax.Array, positions: jax.Array, *,
+                  n_heads: int, n_kv: int, head_dim: int,
+                  eps: float, theta: float):
+    """Run a T-token prefill from an empty cache.
+
+    x: [B, T, H] (any float dtype; residual stream kept f32)
+    positions: [B, T] int32
+    Returns (y [B,T,H] f32 pre-output-norm, k_all, v_all [L,B,T,n_kv,D] bf16).
+    """
+    def layer(carry, wl):
+        x = carry
+        h = rms_norm(x, wl["attn_norm"], eps)
+        q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta, positions)
+        attn = gqa_attention_prefill(q.astype(CACHE_DTYPE),
+                                     k.astype(CACHE_DTYPE),
+                                     v.astype(CACHE_DTYPE))
+        attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
+                       preferred_element_type=jnp.float32)
+        x = x + attn
+        x = x + _ffn(wl, x, eps)
+        return x, (k.astype(CACHE_DTYPE), v.astype(CACHE_DTYPE))
+
+    x = x.astype(jnp.float32)
+    y, (ks, vs) = jax.lax.scan(layer, x, layers_w)
+    return y, ks, vs
+
+
+def write_prefill_to_cache(kv_cache: jax.Array, ks: jax.Array, vs: jax.Array,
+                           start: int = 0) -> jax.Array:
+    """Write prefill K/V ([L,B,T,kv,D]) into the cache at position `start`."""
+    kv = jnp.stack([ks, vs], axis=1)  # [L,2,B,T,kv,D]
+    return jax.lax.dynamic_update_slice(
+        kv_cache, kv.astype(kv_cache.dtype), (0, 0, 0, start, 0, 0))
+
+
+def stack_step(layers_w, x: jax.Array, positions: jax.Array,
+               kv_cache: jax.Array, write_idx: jax.Array,
+               n_valid: jax.Array, *,
+               n_heads: int, n_kv: int, head_dim: int,
+               eps: float, theta: float):
+    """Single-token decode step.
+
+    x: [B, H]; positions: [B] int32 (RoPE position per stream);
+    kv_cache: [L, 2, B, S, n_kv, D]; write_idx: scalar int32 cache slot;
+    n_valid: [B] valid cache length AFTER this token is appended.
+    Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
+    """
+    B = x.shape[0]
+
+    def layer(carry, inputs):
+        x = carry
+        wl, cache_l = inputs
+        h = rms_norm(x, wl["attn_norm"], eps)[:, None, :]   # [B,1,H]
+        q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta,
+                       positions[:, None])
+        new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l, new_kv, (0, 0, write_idx, 0, 0))
+        attn = gqa_attention_step(q[:, 0].astype(CACHE_DTYPE),
+                                  cache_l[0], cache_l[1], n_valid)
+        attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
+                       preferred_element_type=jnp.float32)
+        x = x + attn
+        x = x + _ffn(wl, x, eps)
+        return x, cache_l
+
+    x = x.astype(jnp.float32)
+    y, new_cache = jax.lax.scan(layer, x, (layers_w, kv_cache))
+    return y, new_cache

@@ -1,0 +1,437 @@
+"""Vocoder: WavTokenizer-style decoder, codes[F,16] -> 24 kHz waveform.
+
+TPU-native rebuild of both reference vocoder backends (GGML graphs in
+audio_tokenizer_decoder.cpp and the fixed-frame TensorRT engine in
+trt_vocoder.cpp) as one jitted XLA convolution pipeline, batched over
+streams.
+
+Pipeline (audio_tokenizer_decoder.cpp:622-802):
+  RVQ dequant: first codebook + 15 rest codebooks, shared output
+    projections, summed (:650-703)
+  causal pre_conv k=3, 512 -> latent 1024 (:705-712)
+  pre-transformer: in_proj 1024->512, 8 causal layers (RoPE theta 1e4,
+    per-channel layer-scale on attn+FFN), RMSNorm, out_proj 512->1024
+    (:412-488, :720-748)
+  2x ConvNeXt upsample blocks: convT stride 2 + causal dwconv k=7 + LN +
+    pointwise MLP (gelu) + gamma, residual (:490-549)
+  dec0 conv k=7 -> 1536 (:758-763)
+  4 decoder blocks: Snake + convT (rates 8,5,4,3; trim k-rate both sides)
+    + 3 dilated-Snake residual blocks (dilations 1,3,9) (:551-620, :767-773)
+  final Snake + conv k=7 -> 1 + tanh (:775-790)
+
+Total upsampling 4 * 480 = 1920 samples per 12.5 Hz frame
+(trt_vocoder.h:50).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VocoderConfig
+from ..ops.layers import rms_norm, rope_neox, NEG_INF
+
+WDT = jnp.float32  # vocoder weight dtype (convs; small fraction of total cost)
+
+
+# ---------------------------------------------------------------------------
+# Conv primitives ([B, T, C] layout)
+# ---------------------------------------------------------------------------
+
+def causal_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                  dilation: int = 1, left_pad: int | None = None,
+                  groups: int = 1) -> jax.Array:
+    """Conv1d with explicit left (causal) zero padding.
+
+    x: [B, T, C_in]; w: [C_out, C_in/groups, K] (torch order);
+    left_pad defaults to dilation*(K-1) — fully causal.
+    """
+    k = w.shape[-1]
+    if left_pad is None:
+        left_pad = dilation * (k - 1)
+    wk = jnp.transpose(w, (2, 1, 0))  # [K, C_in/groups, C_out]
+    y = jax.lax.conv_general_dilated(
+        x, wk.astype(x.dtype),
+        window_strides=(1,), padding=[(left_pad, 0)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
+    """ConvTranspose1d with torch/GGML semantics: out = (T-1)*stride + K.
+
+    x: [B, T, C_in]; w: [C_in, C_out, K] (torch ConvTranspose1d order).
+    Implemented as an input-dilated convolution with a flipped kernel —
+    the exact scatter-add semantics of ggml_conv_transpose_1d
+    (audio_tokenizer_decoder.cpp:498, :596).
+    """
+    k = w.shape[-1]
+    wk = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # flip K -> [K, C_in, C_out]
+    return jax.lax.conv_general_dilated(
+        x, wk.astype(x.dtype),
+        window_strides=(1,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
+
+
+def snake(x: jax.Array, alpha_log: jax.Array, beta_log: jax.Array) -> jax.Array:
+    """Snake activation x + exp(-beta)*sin^2(exp(alpha)*x), per channel
+    (apply_snake, audio_tokenizer_decoder.cpp:375-402). x: [B, T, C]."""
+    a = jnp.exp(alpha_log.astype(jnp.float32))
+    inv_b = jnp.exp(-beta_log.astype(jnp.float32))
+    s = jnp.sin(x * a)
+    return x + inv_b * (s * s)
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+def _t(r, name):
+    return jnp.asarray(r.tensor_data(name), WDT)
+
+
+def _lin(r, name):
+    """[out,in] -> [in,out] for x@w."""
+    return jnp.asarray(np.ascontiguousarray(r.tensor_data(name).T), WDT)
+
+
+def _maybe_normalize_codebook(r, cb_name: str, usage_name: str) -> jnp.ndarray:
+    """codebook = embedding_sum / clamp(usage, 1e-5) when a usage tensor is
+    present (normalize_codebooks, audio_tokenizer_decoder.cpp:40-73).
+    The reference converter already pre-divides and drops usage tensors
+    (convert_tokenizer_to_gguf.py:347-359), making the runtime pass a
+    no-op; we support both layouts."""
+    cb = r.tensor_data(cb_name).astype(np.float32)
+    if usage_name in r.tensors:
+        usage = r.tensor_data(usage_name).astype(np.float32)
+        cb = cb / np.maximum(usage, 1e-5)[:, None]
+    return jnp.asarray(cb, WDT)
+
+
+def load_vocoder_weights(r, cfg: VocoderConfig) -> dict[str, Any]:
+    n_rest = cfg.n_codebooks - 1
+    # Output projections are stored as k=1 convs [out, in, 1]
+    def proj(name):
+        w = r.tensor_data(name)
+        w = w.reshape(w.shape[0], w.shape[1])  # [out, in]
+        return jnp.asarray(np.ascontiguousarray(w.T), WDT)  # [in, out]
+
+    def tfm_layer(i):
+        p = f"tok_dec.pre_tfm.blk.{i}"
+        return {
+            "attn_norm": _t(r, f"{p}.attn_norm.weight"),
+            "wq": _lin(r, f"{p}.attn_q.weight"),
+            "wk": _lin(r, f"{p}.attn_k.weight"),
+            "wv": _lin(r, f"{p}.attn_v.weight"),
+            "wo": _lin(r, f"{p}.attn_output.weight"),
+            "attn_scale": _t(r, f"{p}.attn_scale"),
+            "ffn_norm": _t(r, f"{p}.ffn_norm.weight"),
+            "w_gate": _lin(r, f"{p}.ffn_gate.weight"),
+            "w_up": _lin(r, f"{p}.ffn_up.weight"),
+            "w_down": _lin(r, f"{p}.ffn_down.weight"),
+            "ffn_scale": _t(r, f"{p}.ffn_scale"),
+        }
+
+    def upsample_block(i):
+        p = f"tok_dec.upsample.{i}"
+        return {
+            # torch ConvTranspose1d weight [in, out, K]
+            "conv_t_w": _t(r, f"{p}.conv.weight"),
+            "conv_t_b": _t(r, f"{p}.conv.bias"),
+            "dw_w": _t(r, f"{p}.dwconv.weight"),          # [C, 1, K]
+            "dw_b": _t(r, f"{p}.dwconv.bias"),
+            "ln_w": _t(r, f"{p}.norm.weight"),
+            "ln_b": _t(r, f"{p}.norm.bias"),
+            "pw1_w": _lin(r, f"{p}.pwconv1.weight"),
+            "pw1_b": _t(r, f"{p}.pwconv1.bias"),
+            "pw2_w": _lin(r, f"{p}.pwconv2.weight"),
+            "pw2_b": _t(r, f"{p}.pwconv2.bias"),
+            "gamma": _t(r, f"{p}.gamma"),
+        }
+
+    def res_block(blk, res):
+        p = f"tok_dec.dec.{blk}.res.{res}"
+        return {
+            "a1": _t(r, f"{p}.act1.alpha"), "b1": _t(r, f"{p}.act1.beta"),
+            "c1_w": _t(r, f"{p}.conv1.weight"), "c1_b": _t(r, f"{p}.conv1.bias"),
+            "a2": _t(r, f"{p}.act2.alpha"), "b2": _t(r, f"{p}.act2.beta"),
+            "c2_w": _t(r, f"{p}.conv2.weight"), "c2_b": _t(r, f"{p}.conv2.bias"),
+        }
+
+    def dec_block(blk):
+        p = f"tok_dec.dec.{blk}"
+        return {
+            "snake_a": _t(r, f"{p}.snake.alpha"),
+            "snake_b": _t(r, f"{p}.snake.beta"),
+            "conv_t_w": _t(r, f"{p}.conv_t.weight"),
+            "conv_t_b": _t(r, f"{p}.conv_t.bias"),
+            # res indices in GGUF are 2..4 (block positions after snake+convT,
+            # audio_tokenizer_decoder.cpp:272-311)
+            "res": [res_block(blk, j) for j in (2, 3, 4)],
+        }
+
+    return {
+        "vq_first_codebook": _maybe_normalize_codebook(
+            r, "tok_dec.vq_first.0.codebook", "tok_dec.vq_first.0.usage"),
+        "vq_first_out_proj": proj("tok_dec.vq_first.output_proj.weight"),
+        "vq_rest_codebooks": jnp.stack([
+            _maybe_normalize_codebook(
+                r, f"tok_dec.vq_rest.{i}.codebook", f"tok_dec.vq_rest.{i}.usage")
+            for i in range(n_rest)]),
+        "vq_rest_out_proj": proj("tok_dec.vq_rest.output_proj.weight"),
+        "pre_conv_w": _t(r, "tok_dec.pre_conv.weight"),
+        "pre_conv_b": _t(r, "tok_dec.pre_conv.bias"),
+        "pre_tfm": {
+            "in_w": _lin(r, "tok_dec.pre_tfm.input_proj.weight"),
+            "in_b": _t(r, "tok_dec.pre_tfm.input_proj.bias"),
+            "out_w": _lin(r, "tok_dec.pre_tfm.output_proj.weight"),
+            "out_b": _t(r, "tok_dec.pre_tfm.output_proj.bias"),
+            "norm": _t(r, "tok_dec.pre_tfm.norm.weight"),
+            "layers": jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[tfm_layer(i)
+                                     for i in range(cfg.n_pre_tfm_layers)]),
+        },
+        "upsample": [upsample_block(i) for i in range(2)],
+        "dec0_w": _t(r, "tok_dec.dec.0.conv.weight"),
+        "dec0_b": _t(r, "tok_dec.dec.0.conv.bias"),
+        "dec_blocks": [dec_block(i) for i in (1, 2, 3, 4)],
+        "dec5_a": _t(r, "tok_dec.dec.5.snake.alpha"),
+        "dec5_b": _t(r, "tok_dec.dec.5.snake.beta"),
+        "dec6_w": _t(r, "tok_dec.dec.6.conv.weight"),
+        "dec6_b": _t(r, "tok_dec.dec.6.conv.bias"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _pre_tfm_layer(wl, x: jax.Array, positions: jax.Array, n_heads: int,
+                   eps: float, theta: float) -> jax.Array:
+    """Causal pre-transformer layer with layer-scale
+    (apply_pre_tfm_layer, audio_tokenizer_decoder.cpp:412-488)."""
+    B, T, width = x.shape
+    h = rms_norm(x, wl["attn_norm"], eps)
+    q = h @ wl["wq"]
+    k = h @ wl["wk"]
+    v = h @ wl["wv"]
+    head_dim = q.shape[-1] // n_heads
+    q = rope_neox(q.reshape(B, T, n_heads, head_dim), positions, theta)
+    k = rope_neox(k.reshape(B, T, n_heads, head_dim), positions, theta)
+    v = v.reshape(B, T, n_heads, head_dim)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / (head_dim ** 0.5)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    scores = jnp.where(causal[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("bhts,bshd->bthd", probs, v,
+                      preferred_element_type=jnp.float32)
+    attn = attn.reshape(B, T, n_heads * head_dim) @ wl["wo"]
+    x = x + attn * wl["attn_scale"]
+
+    h = rms_norm(x, wl["ffn_norm"], eps)
+    ffn = (jax.nn.silu(h @ wl["w_gate"]) * (h @ wl["w_up"])) @ wl["w_down"]
+    return x + ffn * wl["ffn_scale"]
+
+
+def _upsample_block(w, x: jax.Array) -> jax.Array:
+    """ConvNeXt-style 2x upsample (apply_upsample_block,
+    audio_tokenizer_decoder.cpp:490-549): convT stride 2 (no trim) ->
+    [causal dwconv k=7 + LN + pw MLP + gamma] residual."""
+    c = x.shape[-1]
+    x = conv_transpose1d(x, w["conv_t_w"], 2) + w["conv_t_b"]
+    residual = x
+    k = w["dw_w"].shape[-1]
+    x = causal_conv1d(x, w["dw_w"], w["dw_b"], left_pad=k - 1, groups=c)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + 1e-6) * w["ln_w"] + w["ln_b"]
+    x = jax.nn.gelu(x @ w["pw1_w"] + w["pw1_b"], approximate=True)
+    x = x @ w["pw2_w"] + w["pw2_b"]
+    return residual + x * w["gamma"]
+
+
+def _residual_block(w, x: jax.Array, dilation: int) -> jax.Array:
+    """Snake + dilated causal conv k=7 + Snake + conv k=1, residual
+    (apply_residual_block, audio_tokenizer_decoder.cpp:551-579)."""
+    residual = x
+    x = snake(x, w["a1"], w["b1"])
+    x = causal_conv1d(x, w["c1_w"], w["c1_b"], dilation=dilation)
+    x = snake(x, w["a2"], w["b2"])
+    x = causal_conv1d(x, w["c2_w"], w["c2_b"])
+    return residual + x
+
+
+def _decoder_block(w, x: jax.Array, rate: int) -> jax.Array:
+    """Snake + convT(stride=rate, trim K-rate both sides) + 3 residual
+    blocks (apply_decoder_block, audio_tokenizer_decoder.cpp:581-620)."""
+    x = snake(x, w["snake_a"], w["snake_b"])
+    k = w["conv_t_w"].shape[-1]
+    x = conv_transpose1d(x, w["conv_t_w"], rate)
+    trim = k - rate
+    if trim > 0:
+        x = x[:, trim:x.shape[1] - trim]
+    x = x + w["conv_t_b"]
+    for res_w, dilation in zip(w["res"], (1, 3, 9)):
+        x = _residual_block(res_w, x, dilation)
+    return x
+
+
+def vq_dequantize(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
+    """RVQ lookup + shared projections, summed
+    (audio_tokenizer_decoder.cpp:650-703). codes: [B, F, 16] -> [B, F, 512].
+
+    The 15 'rest' codebooks share one output projection, so their
+    embeddings are summed BEFORE projecting — one matmul instead of 15
+    (linearity; same numerics as the reference's sum of projections).
+    """
+    first = jnp.take(w["vq_first_codebook"], codes[..., 0], axis=0)
+    first = first @ w["vq_first_out_proj"]
+    # rest: tables [15, V, D], codes [B, F, 15]
+    rest_emb = jax.vmap(
+        lambda table, c: jnp.take(table, c, axis=0),
+        in_axes=(0, 2), out_axes=0)(w["vq_rest_codebooks"], codes[..., 1:])
+    rest = jnp.sum(rest_emb, axis=0) @ w["vq_rest_out_proj"]
+    return (first + rest).astype(jnp.float32)
+
+
+def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
+    """Decode codes [B, F, n_codebooks] int32 -> audio [B, F*1920] f32.
+
+    Full-sequence decode (the GGML-path behavior,
+    audio_tokenizer_decoder.cpp:804-879). For the streaming 40-frame
+    chunked behavior of the TRT path, see runtime.pipeline.
+    """
+    B, F, _ = codes.shape
+    x = vq_dequantize(w, cfg, codes)                        # [B, F, 512]
+    x = causal_conv1d(x, w["pre_conv_w"], w["pre_conv_b"])  # [B, F, 1024]
+
+    t = w["pre_tfm"]
+    x = x @ t["in_w"] + t["in_b"]                           # [B, F, 512]
+    positions = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
+
+    def layer(carry, wl):
+        return _pre_tfm_layer(wl, carry, positions, cfg.n_heads,
+                              cfg.rms_norm_eps, cfg.rope_theta), None
+    x, _ = jax.lax.scan(layer, x.astype(jnp.float32), t["layers"])
+    x = rms_norm(x, t["norm"], cfg.rms_norm_eps)
+    x = x @ t["out_w"] + t["out_b"]                         # [B, F, 1024]
+
+    for up_w in w["upsample"]:
+        x = _upsample_block(up_w, x)                        # [B, 4F(+pad), 1024]
+
+    x = causal_conv1d(x, w["dec0_w"], w["dec0_b"])          # -> decoder_dim
+
+    for blk_w, rate in zip(w["dec_blocks"], cfg.upsample_rates):
+        x = _decoder_block(blk_w, x, rate)
+
+    x = snake(x, w["dec5_a"], w["dec5_b"])
+    x = causal_conv1d(x, w["dec6_w"], w["dec6_b"])          # [B, T, 1]
+    return jnp.tanh(x[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests)
+# ---------------------------------------------------------------------------
+
+def tiny_vocoder_config() -> VocoderConfig:
+    return VocoderConfig(
+        sample_rate=24000, n_codebooks=16, codebook_size=64,
+        codebook_dim=8, latent_dim=32, hidden_dim=16,
+        n_pre_tfm_layers=2, n_heads=4, decoder_dim=32,
+        upsample_rates=(2, 2, 2, 2))
+
+
+def init_vocoder_weights(rng: np.random.Generator,
+                         cfg: VocoderConfig) -> dict[str, Any]:
+    def rn(*shape, scale=0.1):
+        return jnp.asarray(rng.standard_normal(shape) * scale, WDT)
+
+    width = cfg.hidden_dim  # transformer width (512 in the real model)
+    qkv = cfg.latent_dim
+
+    def tfm_layer():
+        return {
+            "attn_norm": jnp.ones((width,), WDT),
+            "wq": rn(width, qkv), "wk": rn(width, qkv), "wv": rn(width, qkv),
+            "wo": rn(qkv, width),
+            "attn_scale": jnp.full((width,), 0.5, WDT),
+            "ffn_norm": jnp.ones((width,), WDT),
+            "w_gate": rn(width, 2 * width), "w_up": rn(width, 2 * width),
+            "w_down": rn(2 * width, width),
+            "ffn_scale": jnp.full((width,), 0.5, WDT),
+        }
+
+    def upsample_block(c):
+        return {
+            "conv_t_w": rn(c, c, 2), "conv_t_b": jnp.zeros((c,), WDT),
+            "dw_w": rn(c, 1, 7), "dw_b": jnp.zeros((c,), WDT),
+            "ln_w": jnp.ones((c,), WDT), "ln_b": jnp.zeros((c,), WDT),
+            "pw1_w": rn(c, 2 * c), "pw1_b": jnp.zeros((2 * c,), WDT),
+            "pw2_w": rn(2 * c, c), "pw2_b": jnp.zeros((c,), WDT),
+            "gamma": jnp.full((c,), 0.5, WDT),
+        }
+
+    def res_block(c):
+        return {
+            "a1": jnp.zeros((c,), WDT), "b1": jnp.zeros((c,), WDT),
+            "c1_w": rn(c, c, 7), "c1_b": jnp.zeros((c,), WDT),
+            "a2": jnp.zeros((c,), WDT), "b2": jnp.zeros((c,), WDT),
+            "c2_w": rn(c, c, 1), "c2_b": jnp.zeros((c,), WDT),
+        }
+
+    def dec_block(c_in, rate):
+        c_out = c_in // 2
+        return {
+            "snake_a": jnp.zeros((c_in,), WDT),
+            "snake_b": jnp.zeros((c_in,), WDT),
+            "conv_t_w": rn(c_in, c_out, 2 * rate),
+            "conv_t_b": jnp.zeros((c_out,), WDT),
+            "res": [res_block(c_out) for _ in range(3)],
+        }
+
+    c = cfg.decoder_dim
+    dec_blocks = []
+    for rate in cfg.upsample_rates:
+        dec_blocks.append(dec_block(c, rate))
+        c //= 2
+
+    return {
+        "vq_first_codebook": rn(cfg.codebook_size, cfg.codebook_dim, scale=1.0),
+        "vq_first_out_proj": rn(cfg.codebook_dim, cfg.hidden_dim),
+        "vq_rest_codebooks": rn(cfg.n_codebooks - 1, cfg.codebook_size,
+                                cfg.codebook_dim, scale=1.0),
+        "vq_rest_out_proj": rn(cfg.codebook_dim, cfg.hidden_dim),
+        "pre_conv_w": rn(cfg.latent_dim, cfg.hidden_dim, 3),
+        "pre_conv_b": jnp.zeros((cfg.latent_dim,), WDT),
+        "pre_tfm": {
+            "in_w": rn(cfg.latent_dim, width),
+            "in_b": jnp.zeros((width,), WDT),
+            "out_w": rn(width, cfg.latent_dim),
+            "out_b": jnp.zeros((cfg.latent_dim,), WDT),
+            "norm": jnp.ones((width,), WDT),
+            "layers": jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[tfm_layer()
+                                     for _ in range(cfg.n_pre_tfm_layers)]),
+        },
+        "upsample": [upsample_block(cfg.latent_dim) for _ in range(2)],
+        "dec0_w": rn(cfg.decoder_dim, cfg.latent_dim, 7),
+        "dec0_b": jnp.zeros((cfg.decoder_dim,), WDT),
+        "dec_blocks": dec_blocks,
+        "dec5_a": jnp.zeros((c,), WDT),
+        "dec5_b": jnp.zeros((c,), WDT),
+        "dec6_w": rn(1, c, 7),
+        "dec6_b": jnp.zeros((1,), WDT),
+    }

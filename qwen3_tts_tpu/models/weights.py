@@ -1,0 +1,181 @@
+"""Weight pytrees: GGUF loading and random init.
+
+Weights are plain nested dicts of jnp arrays. Per-layer tensors are
+stacked on a leading layer axis so the transformer can lax.scan over
+layers (one compiled block instead of 28 unrolled copies).
+
+GGUF tensors arrive in torch row-major [out, in] (see io/gguf.py); linear
+weights are pre-transposed once at load to [in, out] so the forward pass
+is a plain `x @ w`. Tensor names follow the reference converter's GGML
+naming (convert_tts_to_gguf.py:42-125, convert_tokenizer_to_gguf.py:42-163).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TalkerConfig, VocoderConfig, SpeakerEncoderConfig
+
+MATMUL_DTYPE = jnp.bfloat16
+NORM_DTYPE = jnp.float32
+
+
+def _linear(r, name: str, dtype=MATMUL_DTYPE) -> jnp.ndarray:
+    """Load a [out,in] GGUF linear weight as [in,out]."""
+    return jnp.asarray(np.ascontiguousarray(r.tensor_data(name).T), dtype=dtype)
+
+
+def _vec(r, name: str, dtype=NORM_DTYPE) -> jnp.ndarray:
+    return jnp.asarray(r.tensor_data(name), dtype=dtype)
+
+
+def _embd(r, name: str, dtype=MATMUL_DTYPE) -> jnp.ndarray:
+    """Embedding table stays [vocab, dim] (row gather)."""
+    return jnp.asarray(r.tensor_data(name), dtype=dtype)
+
+
+def _stack_layers(r, fmt: str, n_layers: int, loader, **kw) -> jnp.ndarray:
+    return jnp.stack([loader(r, fmt.format(i), **kw) for i in range(n_layers)])
+
+
+def load_decoder_stack(r, prefix: str, n_layers: int) -> dict[str, Any]:
+    """Load a Qwen2-style decoder stack (talker or code predictor).
+
+    Tensor names: {prefix}.blk.{i}.{attn_norm,attn_q,attn_k,attn_v,
+    attn_output,attn_q_norm,attn_k_norm,ffn_norm,ffn_gate,ffn_up,ffn_down}
+    (create_tensors, tts_transformer.cpp:506-610).
+    """
+    def lw(name):
+        return _stack_layers(r, f"{prefix}.blk.{{}}.{name}.weight", n_layers, _linear)
+
+    def lv(name):
+        return _stack_layers(r, f"{prefix}.blk.{{}}.{name}.weight", n_layers, _vec)
+
+    return {
+        "attn_norm": lv("attn_norm"),
+        "wq": lw("attn_q"),
+        "wk": lw("attn_k"),
+        "wv": lw("attn_v"),
+        "wo": lw("attn_output"),
+        "q_norm": lv("attn_q_norm"),
+        "k_norm": lv("attn_k_norm"),
+        "ffn_norm": lv("ffn_norm"),
+        "w_gate": lw("ffn_gate"),
+        "w_up": lw("ffn_up"),
+        "w_down": lw("ffn_down"),
+    }
+
+
+def load_talker_weights(r, cfg: TalkerConfig) -> dict[str, Any]:
+    """Load talker + code predictor weights from the TTS GGUF."""
+    w: dict[str, Any] = {
+        "text_embd": _embd(r, "talker.text_embd.weight"),
+        "text_proj": {
+            "fc1_w": _linear(r, "talker.text_proj.fc1.weight"),
+            "fc1_b": _vec(r, "talker.text_proj.fc1.bias"),
+            "fc2_w": _linear(r, "talker.text_proj.fc2.weight"),
+            "fc2_b": _vec(r, "talker.text_proj.fc2.bias"),
+        },
+        "codec_embd": _embd(r, "talker.codec_embd.weight"),
+        "codec_head": _linear(r, "talker.codec_head.weight"),
+        "output_norm": _vec(r, "talker.output_norm.weight"),
+        "layers": load_decoder_stack(r, "talker", cfg.n_layers),
+    }
+
+    n_rest = cfg.n_codebooks - 1
+    cp: dict[str, Any] = {
+        "layers": load_decoder_stack(r, "code_pred", cfg.code_pred_layers),
+        "output_norm": _vec(r, "code_pred.output_norm.weight"),
+        # 15 per-codebook embeddings (talker space) and lm heads
+        "embd": jnp.stack([_embd(r, f"code_pred.codec_embd.{i}.weight")
+                           for i in range(n_rest)]),
+        "heads": jnp.stack([_linear(r, f"code_pred.lm_head.{i}.weight")
+                            for i in range(n_rest)]),
+    }
+    if "code_pred.mtp_proj.weight" in r.tensors:
+        cp["mtp_w"] = _linear(r, "code_pred.mtp_proj.weight")
+        cp["mtp_b"] = (_vec(r, "code_pred.mtp_proj.bias")
+                       if "code_pred.mtp_proj.bias" in r.tensors else None)
+    else:
+        cp["mtp_w"] = None
+        cp["mtp_b"] = None
+    w["code_pred"] = cp
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / benchmarks without real weights)
+# ---------------------------------------------------------------------------
+
+def _randn(rng: np.random.Generator, shape, scale=0.02, dtype=MATMUL_DTYPE):
+    return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+
+
+def init_decoder_stack(rng: np.random.Generator, n_layers: int, hidden: int,
+                       n_heads: int, n_kv: int, head_dim: int,
+                       inter: int) -> dict[str, Any]:
+    return {
+        "attn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+        "wq": _randn(rng, (n_layers, hidden, n_heads * head_dim)),
+        "wk": _randn(rng, (n_layers, hidden, n_kv * head_dim)),
+        "wv": _randn(rng, (n_layers, hidden, n_kv * head_dim)),
+        "wo": _randn(rng, (n_layers, n_heads * head_dim, hidden)),
+        "q_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+        "k_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+        "ffn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+        "w_gate": _randn(rng, (n_layers, hidden, inter)),
+        "w_up": _randn(rng, (n_layers, hidden, inter)),
+        "w_down": _randn(rng, (n_layers, inter, hidden)),
+    }
+
+
+def init_talker_weights(rng: np.random.Generator,
+                        cfg: TalkerConfig) -> dict[str, Any]:
+    n_rest = cfg.n_codebooks - 1
+    return {
+        "text_embd": _randn(rng, (cfg.text_vocab_size, cfg.text_embd_dim)),
+        "text_proj": {
+            "fc1_w": _randn(rng, (cfg.text_embd_dim, cfg.text_embd_dim)),
+            "fc1_b": jnp.zeros((cfg.text_embd_dim,), NORM_DTYPE),
+            "fc2_w": _randn(rng, (cfg.text_embd_dim, cfg.hidden_size)),
+            "fc2_b": jnp.zeros((cfg.hidden_size,), NORM_DTYPE),
+        },
+        "codec_embd": _randn(rng, (cfg.codec_vocab_size, cfg.hidden_size)),
+        "codec_head": _randn(rng, (cfg.hidden_size, cfg.codec_vocab_size)),
+        "output_norm": jnp.ones((cfg.hidden_size,), NORM_DTYPE),
+        "layers": init_decoder_stack(
+            rng, cfg.n_layers, cfg.hidden_size, cfg.n_attention_heads,
+            cfg.n_key_value_heads, cfg.head_dim, cfg.intermediate_size),
+        "code_pred": {
+            "layers": init_decoder_stack(
+                rng, cfg.code_pred_layers, cfg.code_pred_hidden_size,
+                cfg.code_pred_n_attention_heads, cfg.code_pred_n_kv_heads,
+                cfg.code_pred_head_dim, cfg.code_pred_intermediate_size),
+            "output_norm": jnp.ones((cfg.code_pred_hidden_size,), NORM_DTYPE),
+            "embd": _randn(rng, (n_rest, cfg.code_pred_vocab_size, cfg.hidden_size)),
+            "heads": _randn(rng, (n_rest, cfg.code_pred_hidden_size,
+                                  cfg.code_pred_vocab_size)),
+            "mtp_w": (None if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else _randn(rng, (cfg.hidden_size, cfg.code_pred_hidden_size))),
+            "mtp_b": (None if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else jnp.zeros((cfg.code_pred_hidden_size,), NORM_DTYPE)),
+        },
+    }
+
+
+def tiny_talker_config() -> TalkerConfig:
+    """Small config for fast tests (same structure, tiny dims)."""
+    return TalkerConfig(
+        text_vocab_size=512, text_embd_dim=64,
+        hidden_size=64, n_layers=2, n_attention_heads=4,
+        n_key_value_heads=2, intermediate_size=128, head_dim=16,
+        codec_vocab_size=3072, n_codebooks=16,
+        code_pred_layers=2, code_pred_vocab_size=256,
+        code_pred_hidden_size=64, code_pred_intermediate_size=128,
+        code_pred_n_attention_heads=4, code_pred_n_kv_heads=2,
+        code_pred_head_dim=16,
+        tts_bos_token_id=500, tts_eos_token_id=501, tts_pad_token_id=499,
+    )

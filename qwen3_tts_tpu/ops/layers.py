@@ -1,0 +1,114 @@
+"""Core transformer ops: RMSNorm, NEOX RoPE, SwiGLU, GQA attention.
+
+These are the TPU-native equivalents of the GGML graph fragments the
+reference builds per call (tts_transformer.cpp:1233-1512): jitted once per
+shape, batched over streams, bf16 matmuls on the MXU with f32 softmax/norm
+math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """GGML-style RMSNorm: x / sqrt(mean(x^2)+eps) * w, computed in f32."""
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale) * weight.astype(jnp.float32)
+
+
+def rope_neox(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """NEOX-style rotary embedding over the full head dim.
+
+    Matches ggml_rope_ext(..., GGML_ROPE_TYPE_NEOX, ...) as used at
+    tts_transformer.cpp:1290-1296: pairs are (i, i + D/2).
+
+    x: [..., T, n_heads, D]; positions: broadcastable to [..., T].
+    """
+    d = x.shape[-1]
+    half = d // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-2.0 / d) * jnp.log(theta))
+    ang = positions.astype(jnp.float32)[..., None] * freqs       # [..., T, half]
+    cos = jnp.cos(ang)[..., None, :]                              # [..., T, 1, half]
+    sin = jnp.sin(ang)[..., None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array,
+           w_down: jax.Array) -> jax.Array:
+    """SwiGLU FFN: (silu(x@Wg) * (x@Wu)) @ Wd (tts_transformer.cpp:1346-1353)."""
+    gate = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
+    up = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(w_down.dtype)
+    return jnp.dot(act, w_down, preferred_element_type=jnp.float32)
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """q: [B, Hkv, G, T, D], k: [B, Hkv, S, D] -> [B, Hkv, G, T, S] f32."""
+    return jnp.einsum("bkgtd,bksd->bkgts", q, k,
+                      preferred_element_type=jnp.float32)
+
+
+def gqa_attention_prefill(q: jax.Array, k: jax.Array, v: jax.Array,
+                          n_past: jax.Array | int = 0) -> jax.Array:
+    """Batched causal GQA over a prefix written to the cache.
+
+    q: [B, T, n_heads, D] — new queries
+    k, v: [B, S, n_kv, D] — full keys/values (S >= n_past + T)
+    Causality: query t may attend to positions <= n_past + t.
+    Returns [B, T, n_heads*D].
+    """
+    B, T, n_heads, D = q.shape
+    S, n_kv = k.shape[1], k.shape[2]
+    G = n_heads // n_kv
+    scale = 1.0 / (D ** 0.5)
+
+    qh = q.reshape(B, T, n_kv, G, D).transpose(0, 2, 3, 1, 4)    # [B,Hkv,G,T,D]
+    kh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,S,D]
+    vh = v.transpose(0, 2, 1, 3)
+
+    scores = _gqa_scores(qh, kh) * scale                          # [B,Hkv,G,T,S]
+    t_idx = jnp.arange(T)[:, None]
+    s_idx = jnp.arange(S)[None, :]
+    mask = s_idx <= (t_idx + n_past)                              # [T,S]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, n_heads * D)
+
+
+def gqa_attention_step(q: jax.Array, k: jax.Array, v: jax.Array,
+                       n_valid: jax.Array) -> jax.Array:
+    """Single-token decode attention over an HBM-resident cache.
+
+    q: [B, n_heads, D]; k, v: [B, S, n_kv, D] (padded cache);
+    n_valid: [B] number of valid cache positions per stream.
+    Returns [B, n_heads*D].
+
+    This is the XLA path (flash-decode Pallas kernel is the optimized
+    alternative in ops/flash_decode.py).
+    """
+    B, n_heads, D = q.shape
+    S, n_kv = k.shape[1], k.shape[2]
+    G = n_heads // n_kv
+    scale = 1.0 / (D ** 0.5)
+
+    qh = q.reshape(B, n_kv, G, 1, D)
+    kh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,S,D]
+    vh = v.transpose(0, 2, 1, 3)
+    scores = _gqa_scores(qh, kh) * scale                          # [B,Hkv,G,1,S]
+    mask = jnp.arange(S)[None, :] < n_valid[:, None]              # [B,S]
+    scores = jnp.where(mask[:, None, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, n_heads * D)
