@@ -307,12 +307,29 @@ def vq_dequantize(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     return (first + rest).astype(jnp.float32)
 
 
+def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int) -> int:
+    """Exact output sample count for n_frames, following the reference's
+    length arithmetic: upsample convT has no trim
+    (audio_tokenizer_decoder.cpp:498-501), decoder convT trims
+    (K - rate) from BOTH sides (:601-609), all plain convs are causal
+    (length-preserving)."""
+    t = n_frames
+    for up_w in w["upsample"]:
+        t = (t - 1) * 2 + up_w["conv_t_w"].shape[-1]
+    for blk_w, rate in zip(w["dec_blocks"], cfg.upsample_rates):
+        k = blk_w["conv_t_w"].shape[-1]
+        t = (t - 1) * rate + k - 2 * (k - rate)
+    return t
+
+
 def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     """Decode codes [B, F, n_codebooks] int32 -> audio [B, F*1920] f32.
 
     Full-sequence decode (the GGML-path behavior,
     audio_tokenizer_decoder.cpp:804-879). For the streaming 40-frame
-    chunked behavior of the TRT path, see runtime.pipeline.
+    chunked behavior of the TRT path, see runtime.pipeline. Output length
+    is vocoder_output_length(w, cfg, F) — slightly less than F*1920
+    because the decoder convT blocks trim (K-rate) from both sides.
     """
     B, F, _ = codes.shape
     x = vq_dequantize(w, cfg, codes)                        # [B, F, 512]
