@@ -1,0 +1,175 @@
+"""Batched autoregressive generation: the hot loop, fully on-device.
+
+TPU-native rebuild of TTSTransformer::generate
+(tts_transformer.cpp:2342-2574). Where the reference runs a C++ loop with
+4+ host<->device transfers per frame (SURVEY.md §3.2 "device boundaries"),
+here each 40-frame chunk is ONE jitted lax.scan:
+
+  sample CB0 (suppression/penalty/EOS-ramp/top-k) ->
+  16-codebook predictor scan -> next-step embedding ->
+  talker decode step
+
+with the talker KV cache donated across chunks. The 40-frame chunk size
+matches the reference's streaming-vocoder callback interval
+(qwen3_tts.cpp:459-463, callback_interval=40), so the host only sees
+[40, B, 16] int32 codes + a done mask per chunk.
+
+Everything carries a batch dimension: concurrent streams share each step's
+MXU work — the core of the >=16-streams/chip serving design (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TalkerConfig
+from ..models import code_predictor, talker
+from ..models.stack import init_kv_cache
+from ..ops.sampling import sample_cb0
+
+
+class GenState(NamedTuple):
+    kv_cache: jax.Array       # [L, 2, B, S, kv, D] bf16
+    n_past: jax.Array         # scalar int32 — talker cache fill level
+    frame_idx: jax.Array      # scalar int32 — frames generated so far
+    last_hidden: jax.Array    # [B, H] f32
+    logits: jax.Array         # [B, codec_vocab] f32
+    seen_mask: jax.Array      # [B, codec_vocab] bool — emitted CB0 ids
+    done: jax.Array           # [B] bool — stream hit EOS (or was inactive)
+    key: jax.Array            # PRNG key
+
+
+class GenConsts(NamedTuple):
+    """Per-utterance constants threaded through the chunk scan."""
+    trailing_hidden: jax.Array   # [B, T_trail, H]
+    trailing_len: jax.Array      # [B]
+    tts_pad_embed: jax.Array     # [B, H]
+    expected_frames: jax.Array   # [B] — EOS ramp threshold
+    temperature: jax.Array       # scalar f32
+    repetition_penalty: jax.Array  # scalar f32
+
+
+def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
+               max_ctx: int, key: jax.Array,
+               active: jax.Array | None = None) -> GenState:
+    """Run the prefill and build the generation state.
+
+    max_ctx must cover prefill_len + max frames + slack
+    (the reference sizes its cache prefill+max_len+8,
+    tts_transformer.cpp:2383-2388).
+    `active`: [B] bool — streams that actually hold a request (for
+    partially-filled serving batches).
+    """
+    B, P, H = prefill.prefill_embd.shape
+    cache = init_kv_cache(cfg.n_layers, B, max_ctx,
+                          cfg.n_key_value_heads, cfg.head_dim)
+    hidden, logits, cache = talker.talker_prefill(
+        w, cfg, prefill.prefill_embd, cache)
+    done = jnp.zeros((B,), bool) if active is None else ~active
+    state = GenState(
+        kv_cache=cache,
+        n_past=jnp.int32(P),
+        frame_idx=jnp.int32(0),
+        last_hidden=hidden,
+        logits=logits,
+        seen_mask=jnp.zeros((B, cfg.codec_vocab_size), bool),
+        done=done,
+        key=key,
+    )
+    return state
+
+
+def make_consts(prefill: talker.PrefillInputs, temperature: float,
+                repetition_penalty: float) -> GenConsts:
+    expected = jnp.maximum(20, prefill.n_text_tokens * 4).astype(jnp.int32)
+    return GenConsts(
+        trailing_hidden=prefill.trailing_hidden,
+        trailing_len=prefill.trailing_len,
+        tts_pad_embed=prefill.tts_pad_embed,
+        expected_frames=expected,
+        temperature=jnp.float32(temperature),
+        repetition_penalty=jnp.float32(repetition_penalty),
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "top_k", "chunk_frames"),
+         donate_argnames=("state",))
+def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
+                   top_k: int, chunk_frames: int = 40):
+    """Generate up to `chunk_frames` frames for every stream in the batch.
+
+    Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
+    A frame is valid iff the stream was live and did not sample EOS at that
+    step (EOS frames are not emitted — tts_transformer.cpp:2497-2499).
+    """
+    n_cb = cfg.n_codebooks
+
+    def step(state: GenState, _):
+        key, k_cb0, k_codes = jax.random.split(state.key, 3)
+
+        cb0 = sample_cb0(
+            state.logits, state.seen_mask, state.frame_idx,
+            consts.expected_frames, consts.repetition_penalty,
+            consts.temperature, top_k, k_cb0,
+            eos_id=cfg.codec_eos_id,
+            suppress_start=cfg.codec_vocab_size - 1024)
+
+        is_eos = cb0 == cfg.codec_eos_id
+        valid = ~state.done & ~is_eos
+        done = state.done | is_eos
+        cb0_safe = jnp.where(valid, cb0, 0)
+
+        seen = state.seen_mask.at[jnp.arange(cb0.shape[0]), cb0_safe].set(
+            jnp.where(valid, True,
+                      state.seen_mask[jnp.arange(cb0.shape[0]), cb0_safe]))
+
+        rest = code_predictor.predict_codes(
+            w, cfg, state.last_hidden, cb0_safe,
+            consts.temperature, top_k, k_codes)
+        frame_codes = jnp.concatenate([cb0_safe[:, None], rest], axis=1)
+
+        # next-step embedding: codec+code-pred embeds + trailing text row
+        # (or tts_pad once the text schedule is exhausted,
+        # tts_transformer.cpp:2548-2553)
+        t_trail = consts.trailing_hidden.shape[1]
+        row_idx = jnp.clip(state.frame_idx, 0, t_trail - 1)
+        trail_row = jax.lax.dynamic_index_in_dim(
+            consts.trailing_hidden, row_idx, axis=1, keepdims=False)
+        trail_row = jnp.where(
+            (state.frame_idx < consts.trailing_len)[:, None],
+            trail_row, consts.tts_pad_embed)
+        step_embd = code_predictor.frame_step_embedding(
+            w, cfg, frame_codes, trail_row)
+
+        hidden, logits, cache = talker.talker_step(
+            w, cfg, step_embd, state.kv_cache, state.n_past)
+
+        new_state = GenState(
+            kv_cache=cache,
+            n_past=state.n_past + 1,
+            frame_idx=state.frame_idx + 1,
+            last_hidden=hidden,
+            logits=logits,
+            seen_mask=seen,
+            done=done,
+            key=key,
+        )
+        return new_state, (frame_codes, valid)
+
+    state, (codes, valid) = jax.lax.scan(step, state, None,
+                                         length=chunk_frames)
+    return state, codes, valid
+
+
+def required_ctx(prefill_len: int, max_frames: int, chunk: int = 40,
+                 align: int = 128) -> int:
+    """Talker cache size: prefill + frames rounded up to whole chunks +
+    slack, aligned for the TPU lane dimension."""
+    n_chunks = -(-max_frames // chunk)
+    need = prefill_len + n_chunks * chunk + 8
+    return -(-need // align) * align

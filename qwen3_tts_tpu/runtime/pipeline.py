@@ -1,0 +1,413 @@
+"""Pipeline orchestrator: load models, synthesize, voice cloning.
+
+TPU-native rebuild of class Qwen3TTS (qwen3_tts.{h,cpp}): same model-dir
+layout (qwen3-tts-0.6b-f16.gguf + qwen3-tts-tokenizer-f16.gguf,
+qwen3_tts.cpp:117-118), same lazy speaker-encoder loading (:281-297), same
+timing/memory surface (tts_result, qwen3_tts.h:46-75) — but batched: one
+engine serves many concurrent streams per chip, with the 40-frame
+streaming vocoder decode mirroring the TRT callback path
+(qwen3_tts.cpp:437-453).
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SpeakerEncoderConfig, TalkerConfig, VocoderConfig
+from ..io.gguf import GGUFReader
+from ..models import speaker_encoder as spk
+from ..models import talker, vocoder, weights as W
+from ..tokenizer import TextTokenizer
+from . import audio_io
+from .generate import (GenState, generate_chunk, init_state, make_consts,
+                       required_ctx)
+
+CHUNK_FRAMES = 40  # streaming vocoder interval (qwen3_tts.cpp:463)
+
+
+@dataclass
+class TTSParams:
+    """Generation parameters (tts_params, qwen3_tts.h:18-43)."""
+    max_audio_tokens: int = 4096
+    temperature: float = 0.9
+    top_p: float = 1.0          # accepted for CLI parity; not applied (ref: same)
+    top_k: int = 50
+    repetition_penalty: float = 1.05
+    language_id: int = 2050     # English (qwen3_tts.cpp:461)
+    seed: int | None = None
+    print_progress: bool = False
+    print_timing: bool = True
+    streaming_vocoder: bool = True   # 40-frame chunked decode (TRT-path behavior)
+
+
+@dataclass
+class TTSResult:
+    """Synthesis result (tts_result, qwen3_tts.h:46-75)."""
+    audio: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    sample_rate: int = 24000
+    success: bool = False
+    error_msg: str = ""
+    n_frames: int = 0
+    t_tokenize_ms: float = 0.0
+    t_encode_ms: float = 0.0
+    t_generate_ms: float = 0.0
+    t_decode_ms: float = 0.0
+    t_total_ms: float = 0.0
+    mem_rss_peak_bytes: int = 0
+    device_mem_bytes: int = 0
+
+
+def _now_ms() -> float:
+    return time.monotonic() * 1e3
+
+
+def _rss_bytes() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+
+def _device_mem_bytes() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
+def _log(msg: str) -> None:
+    import sys
+    print(msg, file=sys.stderr, flush=True)
+
+
+class Qwen3TTS:
+    """End-to-end TTS engine: text -> 24 kHz waveform, with voice cloning."""
+
+    def __init__(self) -> None:
+        self.tokenizer: TextTokenizer | None = None
+        self.talker_cfg: TalkerConfig | None = None
+        self.talker_w: dict[str, Any] | None = None
+        self.voc_cfg: VocoderConfig | None = None
+        self.voc_w: dict[str, Any] | None = None
+        self.spk_cfg: SpeakerEncoderConfig | None = None
+        self.spk_w: dict[str, Any] | None = None
+        self._tts_model_path: str | None = None
+        self.error_msg = ""
+
+    # -- loading ------------------------------------------------------------
+    def load_models(self, model_dir: str) -> bool:
+        """Load tokenizer + talker eagerly, vocoder eagerly, speaker encoder
+        lazily (load_models, qwen3_tts.cpp:107-230)."""
+        t0 = _now_ms()
+        tts_path = os.path.join(model_dir, "qwen3-tts-0.6b-f16.gguf")
+        tok_path = os.path.join(model_dir, "qwen3-tts-tokenizer-f16.gguf")
+        self._tts_model_path = tts_path
+        try:
+            with GGUFReader(tts_path) as r:
+                t1 = _now_ms()
+                self.tokenizer = TextTokenizer.from_gguf(r)
+                _log(f"  Text tokenizer loaded: vocab_size="
+                     f"{len(self.tokenizer.id_to_token)} ({_now_ms()-t1:.0f} ms)")
+                t1 = _now_ms()
+                self.talker_cfg = TalkerConfig.from_gguf(r)
+                self.talker_w = W.load_talker_weights(r, self.talker_cfg)
+                _log(f"  Talker loaded: hidden_size={self.talker_cfg.hidden_size}"
+                     f", n_layers={self.talker_cfg.n_layers}"
+                     f" ({_now_ms()-t1:.0f} ms)")
+            _log("  Speaker encoder: deferred (lazy load)")
+            t1 = _now_ms()
+            with GGUFReader(tok_path) as r:
+                self.voc_cfg = VocoderConfig.from_gguf(r)
+                self.voc_w = vocoder.load_vocoder_weights(r, self.voc_cfg)
+            _log(f"  Vocoder loaded: sample_rate={self.voc_cfg.sample_rate}"
+                 f", n_codebooks={self.voc_cfg.n_codebooks}"
+                 f" ({_now_ms()-t1:.0f} ms)")
+        except (OSError, ValueError, KeyError) as e:
+            self.error_msg = f"Failed to load models: {e}"
+            return False
+        _log(f"All models loaded in {_now_ms()-t0:.0f} ms")
+        return True
+
+    @classmethod
+    def from_components(cls, tokenizer, talker_cfg, talker_w,
+                        voc_cfg, voc_w, spk_cfg=None, spk_w=None) -> "Qwen3TTS":
+        """Assemble an engine from in-memory components (tests/benches)."""
+        self = cls()
+        self.tokenizer = tokenizer
+        self.talker_cfg = talker_cfg
+        self.talker_w = talker_w
+        self.voc_cfg = voc_cfg
+        self.voc_w = voc_w
+        self.spk_cfg = spk_cfg
+        self.spk_w = spk_w
+        return self
+
+    def _ensure_speaker_encoder(self) -> bool:
+        if self.spk_w is not None:
+            return True
+        if not self._tts_model_path:
+            self.error_msg = "speaker encoder unavailable (no model path)"
+            return False
+        try:
+            with GGUFReader(self._tts_model_path) as r:
+                self.spk_cfg = SpeakerEncoderConfig.from_gguf(r)
+                self.spk_w = spk.load_speaker_encoder_weights(r, self.spk_cfg)
+            return True
+        except (OSError, ValueError, KeyError) as e:
+            self.error_msg = f"Failed to load speaker encoder: {e}"
+            return False
+
+    # -- speaker encoding ----------------------------------------------------
+    def encode_speaker(self, reference_audio: str) -> np.ndarray | None:
+        """Reference WAV -> 1024-d voice embedding
+        (encode_speaker, qwen3_tts.cpp:315-350)."""
+        if not self._ensure_speaker_encoder():
+            return None
+        try:
+            samples, sr = audio_io.load_wav(reference_audio)
+        except (OSError, ValueError) as e:
+            self.error_msg = f"Failed to load reference audio: {e}"
+            return None
+        return self.encode_speaker_samples(samples, sr)
+
+    def encode_speaker_samples(self, samples: np.ndarray,
+                               sample_rate: int) -> np.ndarray | None:
+        if not self._ensure_speaker_encoder():
+            return None
+        cfg = self.spk_cfg
+        if sample_rate != cfg.sample_rate:
+            samples = audio_io.resample_linear(samples, sample_rate,
+                                               cfg.sample_rate)
+        mel = spk.mel_spectrogram(np.asarray(samples, np.float32), cfg)
+        t = mel.shape[0]
+        t_bucket = spk.bucket_frames(t)
+        mel_pad = np.zeros((1, t_bucket, cfg.n_mels), np.float32)
+        mel_pad[0, :t] = mel
+        emb = spk.encode(self.spk_w, cfg, jnp.asarray(mel_pad),
+                         jnp.array([t], jnp.int32))
+        return np.asarray(emb[0])
+
+    # -- synthesis -----------------------------------------------------------
+    def synthesize(self, text: str, params: TTSParams | None = None) -> TTSResult:
+        """Default voice = zero speaker embedding (qwen3_tts.cpp:241-245)."""
+        return self.synthesize_batch([text], None, params)[0]
+
+    def synthesize_with_embedding(self, text: str, embedding: np.ndarray,
+                                  params: TTSParams | None = None) -> TTSResult:
+        return self.synthesize_batch([text], [embedding], params)[0]
+
+    def synthesize_with_voice(self, text: str, reference_audio: str,
+                              params: TTSParams | None = None) -> TTSResult:
+        t0 = _now_ms()
+        emb = self.encode_speaker(reference_audio)
+        if emb is None:
+            r = TTSResult()
+            r.error_msg = self.error_msg
+            return r
+        res = self.synthesize_batch([text], [emb], params)[0]
+        res.t_encode_ms = _now_ms() - t0 - res.t_total_ms
+        return res
+
+    def synthesize_batch(self, texts: Sequence[str],
+                         embeddings: Sequence[np.ndarray] | None = None,
+                         params: TTSParams | None = None,
+                         on_chunk: Callable[[int, np.ndarray], None] | None = None,
+                         ) -> list[TTSResult]:
+        """Synthesize a batch of independent streams in lock-step.
+
+        This is the capability the reference lacks entirely (its server
+        loop is serial, main.cpp:109-163): all streams share each jitted
+        frame step's MXU work.
+        on_chunk(stream_idx, samples) fires per 40-frame chunk when
+        streaming decode is enabled.
+        """
+        p = params or TTSParams()
+        results = [TTSResult() for _ in texts]
+        if self.talker_w is None or self.tokenizer is None:
+            for r in results:
+                r.error_msg = "Models not loaded"
+            return results
+        cfg = self.talker_cfg
+        t_total0 = _now_ms()
+
+        # 1. tokenize (qwen3_tts.cpp:396)
+        t0 = _now_ms()
+        token_lists = [self.tokenizer.encode_for_tts(t) for t in texts]
+        t_tok = _now_ms() - t0
+        bad = set()
+        for i, (r, toks) in enumerate(zip(results, token_lists)):
+            if len(toks) < 4:
+                # generate() requires >= 4 tokens (tts_transformer.cpp:2360)
+                r.error_msg = "Need at least 4 text tokens for generation"
+                bad.add(i)
+        if len(bad) == len(texts):
+            return results
+        B = len(texts)
+        t_max = max(len(t) for t in token_lists)
+        t_max = max(-(-t_max // 16) * 16, 16)
+        tokens = np.zeros((B, t_max), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, toks in enumerate(token_lists):
+            tokens[i, :len(toks)] = toks
+            lens[i] = len(toks)
+
+        if embeddings is None:
+            spk_emb = np.zeros((B, cfg.hidden_size), np.float32)
+        else:
+            spk_emb = np.stack([np.asarray(e, np.float32)
+                                for e in embeddings])
+
+        # 2. prefill + chunked generation
+        t0 = _now_ms()
+        prefill = talker.build_prefill_inputs(
+            self.talker_w, cfg, jnp.asarray(tokens), jnp.asarray(lens),
+            jnp.asarray(spk_emb),
+            language_id=jnp.full((B,), p.language_id, jnp.int32))
+        max_ctx = required_ctx(prefill.prefill_embd.shape[1],
+                               p.max_audio_tokens, CHUNK_FRAMES)
+        seed = p.seed if p.seed is not None else np.random.randint(0, 2**31)
+        state = init_state(self.talker_w, cfg, prefill, max_ctx,
+                           jax.random.PRNGKey(seed))
+        consts = make_consts(prefill, p.temperature, p.repetition_penalty)
+
+        frames: list[list[np.ndarray]] = [[] for _ in range(B)]
+        audio_parts: list[list[np.ndarray]] = [[] for _ in range(B)]
+        t_decode = 0.0
+        n_chunks = -(-p.max_audio_tokens // CHUNK_FRAMES)
+        pending_decode = []
+        for _ in range(n_chunks):
+            state, codes, valid = generate_chunk(
+                self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES)
+            codes_h = np.asarray(codes)          # [chunk, B, 16]
+            valid_h = np.asarray(valid)          # [chunk, B]
+            for b in range(B):
+                got = codes_h[valid_h[:, b], b]
+                if len(frames[b]) + len(got) > p.max_audio_tokens:
+                    got = got[:p.max_audio_tokens - sum(
+                        len(f) for f in frames[b])]
+                if len(got):
+                    frames[b].append(got)
+            if p.streaming_vocoder and self.voc_w is not None:
+                td0 = _now_ms()
+                self._decode_streaming(frames, audio_parts, on_chunk)
+                t_decode += _now_ms() - td0
+            if bool(np.all(np.asarray(state.done))):
+                break
+        t_gen = _now_ms() - t0 - t_decode
+
+        # 3. vocoder decode (full-sequence when not streaming,
+        # qwen3_tts.cpp:493-529)
+        td0 = _now_ms()
+        for b in range(B):
+            if b in bad:
+                continue
+            fr = (np.concatenate(frames[b], axis=0)
+                  if frames[b] else np.zeros((0, cfg.n_codebooks), np.int32))
+            results[b].n_frames = len(fr)
+            if len(fr) == 0:
+                results[b].error_msg = "No speech codes generated"
+                continue
+            if self.voc_w is None:
+                results[b].error_msg = "Vocoder not loaded"
+                continue
+            if p.streaming_vocoder:
+                self._flush_streaming(b, frames, audio_parts, on_chunk)
+                results[b].audio = (np.concatenate(audio_parts[b])
+                                    if audio_parts[b] else
+                                    np.zeros(0, np.float32))
+            else:
+                results[b].audio = self.decode_codes(fr)
+            results[b].sample_rate = self.voc_cfg.sample_rate
+            results[b].success = True
+        t_decode += _now_ms() - td0
+
+        rss = _rss_bytes()
+        dev = _device_mem_bytes()
+        for r in results:
+            r.t_tokenize_ms = t_tok
+            r.t_generate_ms = t_gen
+            r.t_decode_ms = t_decode
+            r.t_total_ms = _now_ms() - t_total0
+            r.mem_rss_peak_bytes = rss
+            r.device_mem_bytes = dev
+        if p.print_timing and results and results[0].success:
+            r = results[0]
+            audio_sec = sum(len(x.audio) for x in results) / r.sample_rate
+            wall = r.t_total_ms / 1e3
+            _log("\nTiming:")
+            _log(f"  Tokenization:    {r.t_tokenize_ms:.0f} ms")
+            _log(f"  Code generation: {r.t_generate_ms:.0f} ms")
+            _log(f"  Vocoder decode:  {r.t_decode_ms:.0f} ms")
+            _log(f"  Total:           {r.t_total_ms:.0f} ms")
+            _log(f"  Audio duration:  {audio_sec:.2f} s "
+                 f"({len(results)} stream(s))")
+            if audio_sec > 0:
+                _log(f"  Throughput:      {audio_sec/wall:.2f}x realtime "
+                     f"(RTF={wall/audio_sec:.3f})")
+            _log(f"  RSS peak:        {rss/2**20:.0f} MB; "
+                 f"device mem: {dev/2**20:.0f} MB")
+        return results
+
+    # -- vocoder paths ---------------------------------------------------
+    def decode_codes(self, frames: np.ndarray) -> np.ndarray:
+        """Full-sequence decode of [F, 16] codes (GGML-path behavior)."""
+        codes = jnp.asarray(frames[None], jnp.int32)
+        return np.asarray(vocoder.vocoder_decode(self.voc_w, self.voc_cfg,
+                                                 codes)[0])
+
+    def decode_codes_chunked(self, frames: np.ndarray,
+                             chunk: int = CHUNK_FRAMES) -> np.ndarray:
+        """Independent fixed-size chunk decode: the TRT-path behavior
+        (trt_vocoder.cpp:98-170) — each chunk is zero-padded to `chunk`
+        frames, decoded with no history, and only the valid samples kept."""
+        out = []
+        for off in range(0, len(frames), chunk):
+            part = frames[off:off + chunk]
+            k = len(part)
+            padded = np.zeros((chunk, frames.shape[1]), np.int32)
+            padded[:k] = part
+            audio = self.decode_codes(padded)
+            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg, k)
+            out.append(audio[:valid])
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
+        """Decode any stream that has accumulated a full 40-frame chunk."""
+        for b in range(len(frames)):
+            total = sum(len(f) for f in frames[b])
+            decoded = sum(len(a) for a in audio_parts[b])
+            # how many whole chunks are decodable
+            full = np.concatenate(frames[b]) if frames[b] else None
+            n_chunks_done = len(audio_parts[b])
+            while total - n_chunks_done * CHUNK_FRAMES >= CHUNK_FRAMES:
+                lo = n_chunks_done * CHUNK_FRAMES
+                part = full[lo:lo + CHUNK_FRAMES]
+                audio = self.decode_codes(part)
+                audio_parts[b].append(audio)
+                if on_chunk:
+                    on_chunk(b, audio)
+                n_chunks_done += 1
+
+    def _flush_streaming(self, b, frames, audio_parts, on_chunk) -> None:
+        """Decode the ragged tail (< 40 frames) of stream b
+        (flush, tts_transformer.cpp:2562-2570)."""
+        full = np.concatenate(frames[b]) if frames[b] else None
+        if full is None:
+            return
+        done = len(audio_parts[b]) * CHUNK_FRAMES
+        if done < len(full):
+            part = full[done:]
+            k = len(part)
+            padded = np.zeros((CHUNK_FRAMES, full.shape[1]), np.int32)
+            padded[:k] = part
+            audio = self.decode_codes(padded)
+            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg, k)
+            audio_parts[b].append(audio[:valid])
+            if on_chunk:
+                on_chunk(b, audio[:valid])
