@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Benchmark: batched Qwen3-TTS generation throughput on one TPU chip.
+
+Measures the serving hot path at full 0.6B model scale (random weights —
+identical FLOPs/bytes to real weights): per-frame latency of the fused
+generation step (talker decode + 16-codebook predictor + on-device
+sampling) at batch B concurrent streams, plus the 40-frame chunked
+vocoder decode.
+
+Headline metric: ms of compute per generated frame per stream at B
+streams. The reference (Jetson Orin Nano) spends 80 ms per frame on its
+single stream (BASELINE.md: 27.3 talker + 45.1 code-pred + 2.2 vocoder +
+5.4 overhead); vs_baseline = 80 / ours.
+
+Prints ONE JSON line on stdout; human detail goes to stderr.
+
+Usage: python bench.py [--batch 16] [--chunks 5] [--max-frames 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chunks", type=int, default=5)
+    ap.add_argument("--max-frames", type=int, default=400)
+    ap.add_argument("--temperature", type=float, default=0.9)
+    args = ap.parse_args()
+
+    import jax
+
+    # persistent compile cache: repeat bench runs skip the 20-100s compiles
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    def sync(x):
+        # block_until_ready is unreliable on the experimental axon
+        # platform; a host transfer is a true fence
+        jax.device_get(jax.tree.leaves(x)[-1])
+
+    from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
+    from qwen3_tts_tpu.models import talker, vocoder
+    from qwen3_tts_tpu.models.weights import init_talker_weights_device
+    from qwen3_tts_tpu.runtime.generate import (
+        generate_chunk, init_state, make_consts, required_ctx)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    cfg = TalkerConfig()
+    B = args.batch
+    CHUNK = 40
+    FRAME_BUDGET_MS = 80.0  # 12.5 Hz frame period
+
+    t0 = time.monotonic()
+    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
+    sync(w)
+    log(f"0.6B talker+code-pred weights initialized on device "
+        f"({time.monotonic()-t0:.1f}s)")
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32)
+    lens = jnp.full((B,), 48, jnp.int32)
+    spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
+
+    t0 = time.monotonic()
+    prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
+    ctx = required_ctx(prefill.prefill_embd.shape[1], args.max_frames, CHUNK)
+    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1))
+    sync(state.logits)
+    log(f"prefill B={B} ctx={ctx}: {(time.monotonic()-t0)*1e3:.0f} ms "
+        f"(includes compile)")
+    consts = make_consts(prefill, args.temperature, 1.05)
+
+    # warmup (compile)
+    t0 = time.monotonic()
+    state, codes, valid = generate_chunk(w, cfg, state, consts, 50, CHUNK)
+    sync(codes)
+    log(f"generate_chunk compile+first run: {time.monotonic()-t0:.1f}s")
+
+    t0 = time.monotonic()
+    for _ in range(args.chunks):
+        state, codes, valid = generate_chunk(w, cfg, state, consts, 50, CHUNK)
+    sync(codes)
+    gen_s = time.monotonic() - t0
+    frames = args.chunks * CHUNK
+    gen_ms_per_batchframe = gen_s * 1e3 / frames
+    log(f"generation: {frames} frames x {B} streams in {gen_s:.2f}s -> "
+        f"{gen_ms_per_batchframe:.2f} ms/frame (batch), "
+        f"{gen_ms_per_batchframe/B:.3f} ms/frame/stream")
+
+    # vocoder: batched 40-frame chunk decode at full scale
+    vcfg = VocoderConfig()
+    vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
+    vw = jax.device_put(vw)
+    vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
+    t0 = time.monotonic()
+    audio = vocoder.vocoder_decode(vw, vcfg, vcodes)
+    sync(audio)
+    log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    n_voc = 3
+    for _ in range(n_voc):
+        audio = vocoder.vocoder_decode(vw, vcfg, vcodes)
+    sync(audio)
+    voc_s = time.monotonic() - t0
+    voc_ms_per_batchframe = voc_s * 1e3 / (n_voc * CHUNK)
+    log(f"vocoder: {voc_ms_per_batchframe:.2f} ms/frame (batch of {B}), "
+        f"{voc_ms_per_batchframe/B:.3f} ms/frame/stream")
+
+    total_ms_per_batchframe = gen_ms_per_batchframe + voc_ms_per_batchframe
+    per_stream = total_ms_per_batchframe / B
+    rtf = per_stream / FRAME_BUDGET_MS
+    realtime_ok = total_ms_per_batchframe <= FRAME_BUDGET_MS
+    log(f"TOTAL: {total_ms_per_batchframe:.2f} ms/frame for {B} streams "
+        f"(budget {FRAME_BUDGET_MS:.0f} ms) -> per-stream RTF {rtf:.4f}; "
+        f"{B} realtime streams {'OK' if realtime_ok else 'NOT met'}")
+
+    print(json.dumps({
+        "metric": f"ms_per_frame_per_stream_b{B}",
+        "value": round(per_stream, 4),
+        "unit": "ms",
+        "vs_baseline": round(FRAME_BUDGET_MS / per_stream, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,73 @@ def init_talker_weights(rng: np.random.Generator,
     }
 
 
+def init_talker_weights_device(key, cfg: TalkerConfig,
+                               scale: float = 0.02) -> dict[str, Any]:
+    """Random init generated ON-DEVICE (jax.random) — used by benchmarks
+    at full 0.6B scale where host-side numpy init would dominate startup.
+    The whole init is one jitted program (one compile)."""
+    import jax
+    from functools import partial
+    return jax.jit(partial(_init_talker_weights_device_impl, cfg=cfg,
+                           scale=scale))(key)
+
+
+def _init_talker_weights_device_impl(key, *, cfg: TalkerConfig,
+                                     scale: float) -> dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    keys = iter(jax.random.split(key, 64))
+
+    def rnd(shape, dtype=MATMUL_DTYPE):
+        return (jax.random.normal(next(keys), shape, jnp.float32) *
+                scale).astype(dtype)
+
+    def stack(n_layers, hidden, n_heads, n_kv, head_dim, inter):
+        return {
+            "attn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+            "wq": rnd((n_layers, hidden, n_heads * head_dim)),
+            "wk": rnd((n_layers, hidden, n_kv * head_dim)),
+            "wv": rnd((n_layers, hidden, n_kv * head_dim)),
+            "wo": rnd((n_layers, n_heads * head_dim, hidden)),
+            "q_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+            "k_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+            "ffn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+            "w_gate": rnd((n_layers, hidden, inter)),
+            "w_up": rnd((n_layers, hidden, inter)),
+            "w_down": rnd((n_layers, inter, hidden)),
+        }
+
+    n_rest = cfg.n_codebooks - 1
+    return {
+        "text_embd": rnd((cfg.text_vocab_size, cfg.text_embd_dim)),
+        "text_proj": {
+            "fc1_w": rnd((cfg.text_embd_dim, cfg.text_embd_dim)),
+            "fc1_b": jnp.zeros((cfg.text_embd_dim,), NORM_DTYPE),
+            "fc2_w": rnd((cfg.text_embd_dim, cfg.hidden_size)),
+            "fc2_b": jnp.zeros((cfg.hidden_size,), NORM_DTYPE),
+        },
+        "codec_embd": rnd((cfg.codec_vocab_size, cfg.hidden_size)),
+        "codec_head": rnd((cfg.hidden_size, cfg.codec_vocab_size)),
+        "output_norm": jnp.ones((cfg.hidden_size,), NORM_DTYPE),
+        "layers": stack(cfg.n_layers, cfg.hidden_size, cfg.n_attention_heads,
+                        cfg.n_key_value_heads, cfg.head_dim,
+                        cfg.intermediate_size),
+        "code_pred": {
+            "layers": stack(cfg.code_pred_layers, cfg.code_pred_hidden_size,
+                            cfg.code_pred_n_attention_heads,
+                            cfg.code_pred_n_kv_heads, cfg.code_pred_head_dim,
+                            cfg.code_pred_intermediate_size),
+            "output_norm": jnp.ones((cfg.code_pred_hidden_size,), NORM_DTYPE),
+            "embd": rnd((n_rest, cfg.code_pred_vocab_size, cfg.hidden_size)),
+            "heads": rnd((n_rest, cfg.code_pred_hidden_size,
+                          cfg.code_pred_vocab_size)),
+            "mtp_w": None,
+            "mtp_b": None,
+        },
+    }
+
+
 def tiny_talker_config() -> TalkerConfig:
     """Small config for fast tests (same structure, tiny dims)."""
     return TalkerConfig(

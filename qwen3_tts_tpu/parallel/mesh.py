@@ -1,0 +1,122 @@
+"""Multi-chip scale-out: device mesh + sharding specs.
+
+The reference is strictly single-device (SURVEY.md §2 parallelism table:
+no DP/TP/PP, no communication backend). This module is new design space:
+
+  - `dp` axis: the batch of concurrent TTS streams is sharded across
+    chips — pure data parallelism, zero collectives in the forward pass.
+    This is the primary scale-out (0.6B fits one chip easily).
+  - `tp` axis: optional Megatron-style tensor parallelism over attention
+    heads / FFN columns for the talker, expressed purely as
+    jax.sharding annotations — XLA GSPMD inserts the psum/all-gather
+    collectives over ICI (no hand-written NCCL analogue).
+
+Everything runs through the same jitted functions as single-chip; only
+the NamedShardings differ.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int, n_tp: int = 1,
+              devices: list | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_dp * n_tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_dp, n_tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def talker_shardings(mesh: Mesh) -> dict[str, Any]:
+    """Sharding pytree matching weights.load_talker_weights's structure.
+
+    Megatron layout: q/k/v and gate/up are column-parallel (output dim on
+    `tp`), o and down are row-parallel (input dim on `tp`) — GSPMD
+    completes each attention/FFN block with one psum over ICI. Norms and
+    embeddings are replicated (embeddings are gathered by token id).
+    """
+    col = _ns(mesh, None, None, "tp")   # [L, in, out@tp]
+    row = _ns(mesh, None, "tp", None)   # [L, in@tp, out]
+    rep1 = _ns(mesh, None)
+    rep2 = _ns(mesh, None, None)
+    rep3 = _ns(mesh, None, None, None)
+
+    def stack_spec():
+        return {
+            "attn_norm": rep2, "q_norm": rep2, "k_norm": rep2,
+            "ffn_norm": rep2,
+            "wq": col, "wk": col, "wv": col, "wo": row,
+            "w_gate": col, "w_up": col, "w_down": row,
+        }
+
+    return {
+        "text_embd": rep2,
+        "text_proj": {"fc1_w": rep2, "fc1_b": rep1,
+                      "fc2_w": rep2, "fc2_b": rep1},
+        "codec_embd": rep2,
+        "codec_head": _ns(mesh, None, "tp"),
+        "output_norm": rep1,
+        "layers": stack_spec(),
+        "code_pred": {
+            "layers": stack_spec(),
+            "output_norm": rep1,
+            "embd": rep3,
+            "heads": _ns(mesh, None, None, "tp"),
+            "mtp_w": rep2,
+            "mtp_b": rep1,
+        },
+    }
+
+
+def shard_talker_weights(w, mesh: Mesh):
+    specs = talker_shardings(mesh)
+
+    def place(x, s):
+        return None if x is None else jax.device_put(x, s)
+
+    return jax.tree.map(place, w, specs,
+                        is_leaf=lambda x: x is None)
+
+
+def shard_gen_state(state, mesh: Mesh):
+    """GenState sharding: batch over dp, KV heads over tp."""
+    cache_s = _ns(mesh, None, None, "dp", None, "tp", None)
+    b_s = _ns(mesh, "dp")
+    b2_s = _ns(mesh, "dp", None)
+    rep = _ns(mesh)
+    return type(state)(
+        kv_cache=jax.device_put(state.kv_cache, cache_s),
+        n_past=jax.device_put(state.n_past, rep),
+        frame_idx=jax.device_put(state.frame_idx, rep),
+        last_hidden=jax.device_put(state.last_hidden, b2_s),
+        logits=jax.device_put(state.logits, b2_s),
+        seen_mask=jax.device_put(state.seen_mask, b2_s),
+        done=jax.device_put(state.done, b_s),
+        key=jax.device_put(state.key, rep),
+    )
+
+
+def shard_consts(consts, mesh: Mesh):
+    b2_s = _ns(mesh, "dp", None)
+    b3_s = _ns(mesh, "dp", None, None)
+    b_s = _ns(mesh, "dp")
+    rep = _ns(mesh)
+    return type(consts)(
+        trailing_hidden=jax.device_put(consts.trailing_hidden, b3_s),
+        trailing_len=jax.device_put(consts.trailing_len, b_s),
+        tts_pad_embed=jax.device_put(consts.tts_pad_embed, b2_s),
+        expected_frames=jax.device_put(consts.expected_frames, b_s),
+        temperature=jax.device_put(consts.temperature, rep),
+        repetition_penalty=jax.device_put(consts.repetition_penalty, rep),
+    )

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.models import talker
+from qwen3_tts_tpu.models.weights import init_talker_weights, tiny_talker_config
+from qwen3_tts_tpu.parallel.mesh import (
+    make_mesh, shard_consts, shard_gen_state, shard_talker_weights)
+from qwen3_tts_tpu.runtime.generate import (
+    generate_chunk, init_state, make_consts, required_ctx)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_talker_config()
+    w = init_talker_weights(np.random.default_rng(61), cfg)
+    B = 8
+    rng = np.random.default_rng(62)
+    tokens = jnp.asarray(rng.integers(0, cfg.text_vocab_size, (B, 16)),
+                         jnp.int32)
+    lens = jnp.full((B,), 16, jnp.int32)
+    spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
+    prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
+    return cfg, w, prefill
+
+
+def _run(cfg, w, prefill, chunk=4):
+    ctx = required_ctx(prefill.prefill_embd.shape[1], chunk, chunk)
+    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    consts = make_consts(prefill, 0.0, 1.05)
+    state, codes, valid = generate_chunk(w, cfg, state, consts, 50, chunk)
+    return np.asarray(codes), np.asarray(valid)
+
+
+def test_dp_sharded_matches_single(setup):
+    """Greedy generation over a dp=8 mesh must equal the single-device
+    result — pure data parallelism, no cross-stream interaction."""
+    cfg, w, prefill = setup
+    base_codes, base_valid = _run(cfg, w, prefill)
+
+    mesh = make_mesh(8, 1)
+    w_s = shard_talker_weights(w, mesh)
+    ctx = required_ctx(prefill.prefill_embd.shape[1], 4, 4)
+    state = init_state(w_s, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    state = shard_gen_state(state, mesh)
+    consts = shard_consts(make_consts(prefill, 0.0, 1.05), mesh)
+    state, codes, valid = generate_chunk(w_s, cfg, state, consts, 50, 4)
+
+    np.testing.assert_array_equal(np.asarray(codes), base_codes)
+    np.testing.assert_array_equal(np.asarray(valid), base_valid)
+
+
+def test_dp_tp_sharded_matches_single(setup):
+    """dp=4 x tp=2: Megatron-style head/FFN sharding of the talker must be
+    numerically equivalent (GSPMD inserts the collectives)."""
+    cfg, w, prefill = setup
+    base_codes, base_valid = _run(cfg, w, prefill)
+
+    mesh = make_mesh(4, 2)
+    w_s = shard_talker_weights(w, mesh)
+    ctx = required_ctx(prefill.prefill_embd.shape[1], 4, 4)
+    state = init_state(w_s, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    state = shard_gen_state(state, mesh)
+    consts = shard_consts(make_consts(prefill, 0.0, 1.05), mesh)
+    state, codes, valid = generate_chunk(w_s, cfg, state, consts, 50, 4)
+
+    np.testing.assert_array_equal(np.asarray(codes), base_codes)
+    np.testing.assert_array_equal(np.asarray(valid), base_valid)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(16, 1)
