@@ -24,7 +24,6 @@ from ..ops.layers import (
     gqa_attention_step,
     rms_norm,
     rope_neox,
-    swiglu,
 )
 
 CACHE_DTYPE = jnp.bfloat16
@@ -37,15 +36,15 @@ def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
 
 def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
          eps: float, theta: float, positions: jax.Array):
-    """Project + per-head norm + RoPE. x_norm: [B,T,H] f32."""
+    """Fused QKV projection + per-head norm + RoPE. x_norm: [B,T,H] f32."""
     B, T = x_norm.shape[0], x_norm.shape[1]
-    xb = x_norm.astype(wl["wq"].dtype)
-    q = jnp.dot(xb, wl["wq"], preferred_element_type=jnp.float32)
-    k = jnp.dot(xb, wl["wk"], preferred_element_type=jnp.float32)
-    v = jnp.dot(xb, wl["wv"], preferred_element_type=jnp.float32)
-    q = q.reshape(B, T, n_heads, head_dim)
-    k = k.reshape(B, T, n_kv, head_dim)
-    v = v.reshape(B, T, n_kv, head_dim)
+    xb = x_norm.astype(wl["wqkv"].dtype)
+    qkv = jnp.dot(xb, wl["wqkv"], preferred_element_type=jnp.float32)
+    nq = n_heads * head_dim
+    nk = n_kv * head_dim
+    q = qkv[..., :nq].reshape(B, T, n_heads, head_dim)
+    k = qkv[..., nq:nq + nk].reshape(B, T, n_kv, head_dim)
+    v = qkv[..., nq + nk:].reshape(B, T, n_kv, head_dim)
     # Per-head q/k RMSNorm before RoPE (tts_transformer.cpp:1280-1288)
     q = rms_norm(q, wl["q_norm"], eps)
     k = rms_norm(k, wl["k_norm"], eps)
@@ -55,8 +54,11 @@ def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
 
 
 def _ffn(wl, x: jax.Array, eps: float) -> jax.Array:
-    h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gate"].dtype)
-    return swiglu(h, wl["w_gate"], wl["w_up"], wl["w_down"])
+    h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gu"].dtype)
+    gu = jnp.dot(h, wl["w_gu"], preferred_element_type=jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    act = (jax.nn.silu(gate) * up).astype(wl["w_down"].dtype)
+    return jnp.dot(act, wl["w_down"], preferred_element_type=jnp.float32)
 
 
 def stack_prefill(layers_w, x: jax.Array, positions: jax.Array, *,

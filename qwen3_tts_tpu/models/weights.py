@@ -47,6 +47,10 @@ def load_decoder_stack(r, prefix: str, n_layers: int) -> dict[str, Any]:
     Tensor names: {prefix}.blk.{i}.{attn_norm,attn_q,attn_k,attn_v,
     attn_output,attn_q_norm,attn_k_norm,ffn_norm,ffn_gate,ffn_up,ffn_down}
     (create_tensors, tts_transformer.cpp:506-610).
+
+    Q/K/V and gate/up are fused along the output dim at load time — one
+    MXU matmul each instead of three/two (pure concatenation; numerics
+    unchanged).
     """
     def lw(name):
         return _stack_layers(r, f"{prefix}.blk.{{}}.{name}.weight", n_layers, _linear)
@@ -56,15 +60,13 @@ def load_decoder_stack(r, prefix: str, n_layers: int) -> dict[str, Any]:
 
     return {
         "attn_norm": lv("attn_norm"),
-        "wq": lw("attn_q"),
-        "wk": lw("attn_k"),
-        "wv": lw("attn_v"),
+        "wqkv": jnp.concatenate(
+            [lw("attn_q"), lw("attn_k"), lw("attn_v")], axis=-1),
         "wo": lw("attn_output"),
         "q_norm": lv("attn_q_norm"),
         "k_norm": lv("attn_k_norm"),
         "ffn_norm": lv("ffn_norm"),
-        "w_gate": lw("ffn_gate"),
-        "w_up": lw("ffn_up"),
+        "w_gu": jnp.concatenate([lw("ffn_gate"), lw("ffn_up")], axis=-1),
         "w_down": lw("ffn_down"),
     }
 
@@ -119,15 +121,13 @@ def init_decoder_stack(rng: np.random.Generator, n_layers: int, hidden: int,
                        inter: int) -> dict[str, Any]:
     return {
         "attn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
-        "wq": _randn(rng, (n_layers, hidden, n_heads * head_dim)),
-        "wk": _randn(rng, (n_layers, hidden, n_kv * head_dim)),
-        "wv": _randn(rng, (n_layers, hidden, n_kv * head_dim)),
+        "wqkv": _randn(rng, (n_layers, hidden,
+                             (n_heads + 2 * n_kv) * head_dim)),
         "wo": _randn(rng, (n_layers, n_heads * head_dim, hidden)),
         "q_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
         "k_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
         "ffn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
-        "w_gate": _randn(rng, (n_layers, hidden, inter)),
-        "w_up": _randn(rng, (n_layers, hidden, inter)),
+        "w_gu": _randn(rng, (n_layers, hidden, 2 * inter)),
         "w_down": _randn(rng, (n_layers, inter, hidden)),
     }
 
@@ -191,15 +191,12 @@ def _init_talker_weights_device_impl(key, *, cfg: TalkerConfig,
     def stack(n_layers, hidden, n_heads, n_kv, head_dim, inter):
         return {
             "attn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
-            "wq": rnd((n_layers, hidden, n_heads * head_dim)),
-            "wk": rnd((n_layers, hidden, n_kv * head_dim)),
-            "wv": rnd((n_layers, hidden, n_kv * head_dim)),
+            "wqkv": rnd((n_layers, hidden, (n_heads + 2 * n_kv) * head_dim)),
             "wo": rnd((n_layers, n_heads * head_dim, hidden)),
             "q_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
             "k_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
             "ffn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
-            "w_gate": rnd((n_layers, hidden, inter)),
-            "w_up": rnd((n_layers, hidden, inter)),
+            "w_gu": rnd((n_layers, hidden, 2 * inter)),
             "w_down": rnd((n_layers, inter, hidden)),
         }
 

@@ -53,11 +53,17 @@ def talker_shardings(mesh: Mesh) -> dict[str, Any]:
     rep3 = _ns(mesh, None, None, None)
 
     def stack_spec():
+        # NOTE: wqkv/w_gu are fused along the output dim; a plain 'tp'
+        # column shard would split q/k/v (or gate/up) unevenly across
+        # their internal boundaries, so the fused projections are
+        # replicated and only the row-parallel outputs + the big heads
+        # are sharded. (Per-matmul TP returns when the loader keeps
+        # unfused copies for tp>1 meshes.)
         return {
             "attn_norm": rep2, "q_norm": rep2, "k_norm": rep2,
             "ffn_norm": rep2,
-            "wq": col, "wk": col, "wv": col, "wo": row,
-            "w_gate": col, "w_up": col, "w_down": row,
+            "wqkv": rep3, "wo": row,
+            "w_gu": col, "w_down": row,
         }
 
     return {
