@@ -19,9 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import decode_attention
 from ..ops.layers import (
     gqa_attention_prefill,
-    gqa_attention_step,
     rms_norm,
     rope_neox,
 )
@@ -119,8 +119,8 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
         cache_l = jax.lax.dynamic_update_slice(
             cache_l, new_kv, (0, 0, write_idx, 0, 0))
-        attn = gqa_attention_step(q[:, 0].astype(CACHE_DTYPE),
-                                  cache_l[0], cache_l[1], n_valid)
+        attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
+                                cache_l[0], cache_l[1], n_valid)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn

@@ -1,0 +1,40 @@
+"""Decode-attention dispatcher: Pallas flash-decode on TPU, XLA fallback.
+
+Mirrors the reference's backend-dispatch idea (GGML flash-attn vs masked
+softmax) but as a process-level switch; "auto" picks the Pallas kernel on
+TPU and the XLA einsum path elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .flash_decode import flash_decode
+from .layers import gqa_attention_step
+
+_IMPL = "auto"
+_VALID = ("auto", "flash", "flash_interpret", "xla")
+
+
+def set_decode_attention_impl(impl: str) -> None:
+    global _IMPL
+    if impl not in _VALID:
+        raise ValueError(f"impl must be one of {_VALID}")
+    _IMPL = impl
+
+
+def get_decode_attention_impl() -> str:
+    return _IMPL
+
+
+def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     n_valid: jax.Array) -> jax.Array:
+    """q: [B, n_heads, D]; k, v: [B, S, n_kv, D]; n_valid: [B]."""
+    impl = _IMPL
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash":
+        return flash_decode(q, k, v, n_valid)
+    if impl == "flash_interpret":
+        return flash_decode(q, k, v, n_valid, interpret=True)
+    return gqa_attention_step(q, k, v, n_valid)

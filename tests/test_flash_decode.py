@@ -1,0 +1,70 @@
+"""Pallas flash-decode kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.ops.flash_decode import flash_decode
+from qwen3_tts_tpu.ops.layers import gqa_attention_step
+from qwen3_tts_tpu.ops import attention
+
+
+def _mk(B, S, n_heads, n_kv, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, n_heads, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 256, 16, 8, 128),    # talker dims
+    (2, 16, 4, 2, 64),       # code-pred-like tiny dims
+    (1, 512, 16, 8, 128),
+])
+def test_flash_matches_xla(shape):
+    B, S, n_heads, n_kv, D = shape
+    q, k, v = _mk(*shape)
+    n_valid = jnp.asarray(
+        np.random.default_rng(1).integers(1, S + 1, (B,)), jnp.int32)
+    want = gqa_attention_step(q, k, v, n_valid)
+    got = flash_decode(q, k, v, n_valid, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_ragged_lengths():
+    B, S, n_heads, n_kv, D = 4, 384, 16, 8, 128
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=2)
+    n_valid = jnp.asarray([1, 128, 200, 384], jnp.int32)
+    want = gqa_attention_step(q, k, v, n_valid)
+    got = flash_decode(q, k, v, n_valid, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_nondivisible_ctx():
+    # S not a multiple of the block size: padded internally
+    B, S, n_heads, n_kv, D = 2, 200, 8, 4, 64
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=3)
+    n_valid = jnp.asarray([200, 77], jnp.int32)
+    want = gqa_attention_step(q, k, v, n_valid)
+    got = flash_decode(q, k, v, n_valid, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_dispatcher_switch():
+    q, k, v = _mk(1, 64, 4, 2, 64, seed=4)
+    n_valid = jnp.asarray([33], jnp.int32)
+    attention.set_decode_attention_impl("flash_interpret")
+    try:
+        a = attention.decode_attention(q, k, v, n_valid)
+    finally:
+        attention.set_decode_attention_impl("auto")
+    b = attention.decode_attention(q, k, v, n_valid)  # xla on CPU
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-4)
+    with pytest.raises(ValueError):
+        attention.set_decode_attention_impl("bogus")
