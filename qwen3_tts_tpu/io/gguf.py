@@ -293,10 +293,21 @@ class GGUFReader:
         return memoryview(self._mm)[start:start + info.nbytes]
 
     def tensor_data(self, name: str, dtype=None) -> np.ndarray:
-        """Dequantized tensor in row-major (torch) shape."""
+        """Dequantized tensor in row-major (torch) shape.
+
+        Uses the native C++ multithreaded dequantizer when built
+        (native/gguf_native.cpp); falls back to the numpy path."""
         info = self.tensors[name]
-        flat = dequantize(np.frombuffer(self.raw_tensor(name), dtype=np.uint8),
-                          info.ggml_type, info.n_elements)
+        raw = np.frombuffer(self.raw_tensor(name), dtype=np.uint8)
+        flat = None
+        if info.ggml_type not in (GGML_I32, GGML_I64):
+            try:
+                from ..native import dequantize_f32 as _native_dq
+                flat = _native_dq(raw, info.ggml_type, info.n_elements)
+            except ImportError:
+                flat = None
+        if flat is None:
+            flat = dequantize(raw, info.ggml_type, info.n_elements)
         out = flat.reshape(info.shape)
         if dtype is not None:
             out = out.astype(dtype)
