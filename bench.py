@@ -105,7 +105,7 @@ def main() -> None:
     # vocoder: batched 40-frame chunk decode at full scale
     vcfg = VocoderConfig()
     vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
-    vw = jax.device_put(vw)
+    vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
     vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
     t0 = time.monotonic()
     audio = vocoder.vocoder_decode(vw, vcfg, vcodes)

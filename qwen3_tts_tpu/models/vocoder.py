@@ -54,14 +54,14 @@ def causal_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None,
         left_pad = dilation * (k - 1)
     wk = jnp.transpose(w, (2, 1, 0))  # [K, C_in/groups, C_out]
     y = jax.lax.conv_general_dilated(
-        x, wk.astype(x.dtype),
+        x.astype(w.dtype), wk,
         window_strides=(1,), padding=[(left_pad, 0)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32)
     if b is not None:
-        y = y + b
+        y = y + b.astype(jnp.float32)
     return y
 
 
@@ -76,7 +76,7 @@ def conv_transpose1d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
     k = w.shape[-1]
     wk = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # flip K -> [K, C_in, C_out]
     return jax.lax.conv_general_dilated(
-        x, wk.astype(x.dtype),
+        x.astype(w.dtype), wk,
         window_strides=(1,), padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -221,10 +221,10 @@ def _pre_tfm_layer(wl, x: jax.Array, positions: jax.Array, n_heads: int,
     """Causal pre-transformer layer with layer-scale
     (apply_pre_tfm_layer, audio_tokenizer_decoder.cpp:412-488)."""
     B, T, width = x.shape
-    h = rms_norm(x, wl["attn_norm"], eps)
-    q = h @ wl["wq"]
-    k = h @ wl["wk"]
-    v = h @ wl["wv"]
+    h = rms_norm(x, wl["attn_norm"], eps).astype(wl["wq"].dtype)
+    q = jnp.dot(h, wl["wq"], preferred_element_type=jnp.float32)
+    k = jnp.dot(h, wl["wk"], preferred_element_type=jnp.float32)
+    v = jnp.dot(h, wl["wv"], preferred_element_type=jnp.float32)
     head_dim = q.shape[-1] // n_heads
     q = rope_neox(q.reshape(B, T, n_heads, head_dim), positions, theta)
     k = rope_neox(k.reshape(B, T, n_heads, head_dim), positions, theta)
@@ -236,13 +236,17 @@ def _pre_tfm_layer(wl, x: jax.Array, positions: jax.Array, n_heads: int,
     causal = jnp.tril(jnp.ones((T, T), bool))
     scores = jnp.where(causal[None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.einsum("bhts,bshd->bthd", probs, v,
+    attn = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
-    attn = attn.reshape(B, T, n_heads * head_dim) @ wl["wo"]
+    attn = jnp.dot(attn.reshape(B, T, n_heads * head_dim).astype(
+        wl["wo"].dtype), wl["wo"], preferred_element_type=jnp.float32)
     x = x + attn * wl["attn_scale"]
 
-    h = rms_norm(x, wl["ffn_norm"], eps)
-    ffn = (jax.nn.silu(h @ wl["w_gate"]) * (h @ wl["w_up"])) @ wl["w_down"]
+    h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gate"].dtype)
+    gate = jnp.dot(h, wl["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.dot(h, wl["w_up"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(wl["w_down"].dtype)
+    ffn = jnp.dot(act, wl["w_down"], preferred_element_type=jnp.float32)
     return x + ffn * wl["ffn_scale"]
 
 
@@ -257,10 +261,14 @@ def _upsample_block(w, x: jax.Array) -> jax.Array:
     x = causal_conv1d(x, w["dw_w"], w["dw_b"], left_pad=k - 1, groups=c)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + 1e-6) * w["ln_w"] + w["ln_b"]
-    x = jax.nn.gelu(x @ w["pw1_w"] + w["pw1_b"], approximate=True)
-    x = x @ w["pw2_w"] + w["pw2_b"]
-    return residual + x * w["gamma"]
+    x = ((x - mean) * jax.lax.rsqrt(var + 1e-6) * w["ln_w"].astype(jnp.float32)
+         + w["ln_b"].astype(jnp.float32))
+    x = jnp.dot(x.astype(w["pw1_w"].dtype), w["pw1_w"],
+                preferred_element_type=jnp.float32) + w["pw1_b"]
+    x = jax.nn.gelu(x, approximate=True)
+    x = jnp.dot(x.astype(w["pw2_w"].dtype), w["pw2_w"],
+                preferred_element_type=jnp.float32) + w["pw2_b"]
+    return residual + x * w["gamma"].astype(jnp.float32)
 
 
 def _residual_block(w, x: jax.Array, dilation: int) -> jax.Array:
@@ -298,13 +306,15 @@ def vq_dequantize(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     (linearity; same numerics as the reference's sum of projections).
     """
     first = jnp.take(w["vq_first_codebook"], codes[..., 0], axis=0)
-    first = first @ w["vq_first_out_proj"]
+    first = jnp.dot(first, w["vq_first_out_proj"],
+                    preferred_element_type=jnp.float32)
     # rest: tables [15, V, D], codes [B, F, 15]
     rest_emb = jax.vmap(
         lambda table, c: jnp.take(table, c, axis=0),
         in_axes=(0, 2), out_axes=0)(w["vq_rest_codebooks"], codes[..., 1:])
-    rest = jnp.sum(rest_emb, axis=0) @ w["vq_rest_out_proj"]
-    return (first + rest).astype(jnp.float32)
+    rest = jnp.dot(jnp.sum(rest_emb, axis=0).astype(w["vq_rest_out_proj"].dtype),
+                   w["vq_rest_out_proj"], preferred_element_type=jnp.float32)
+    return first + rest
 
 
 def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int) -> int:
@@ -336,7 +346,8 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     x = causal_conv1d(x, w["pre_conv_w"], w["pre_conv_b"])  # [B, F, 1024]
 
     t = w["pre_tfm"]
-    x = x @ t["in_w"] + t["in_b"]                           # [B, F, 512]
+    x = jnp.dot(x.astype(t["in_w"].dtype), t["in_w"],
+                preferred_element_type=jnp.float32) + t["in_b"]  # [B, F, 512]
     positions = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None], (B, F))
 
     def layer(carry, wl):
@@ -344,7 +355,8 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
                               cfg.rms_norm_eps, cfg.rope_theta), None
     x, _ = jax.lax.scan(layer, x.astype(jnp.float32), t["layers"])
     x = rms_norm(x, t["norm"], cfg.rms_norm_eps)
-    x = x @ t["out_w"] + t["out_b"]                         # [B, F, 1024]
+    x = jnp.dot(x.astype(t["out_w"].dtype), t["out_w"],
+                preferred_element_type=jnp.float32) + t["out_b"]  # [B,F,1024]
 
     for up_w in w["upsample"]:
         x = _upsample_block(up_w, x)                        # [B, 4F(+pad), 1024]
@@ -357,6 +369,21 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     x = snake(x, w["dec5_a"], w["dec5_b"])
     x = causal_conv1d(x, w["dec6_w"], w["dec6_b"])          # [B, T, 1]
     return jnp.tanh(x[..., 0])
+
+
+def cast_weights(w, dtype=jnp.bfloat16):
+    """Cast conv/matmul kernels (ndim >= 2) to a compute dtype, keeping
+    1-D params (norms, biases, Snake alphas) in f32.
+
+    bf16 is the TPU fast path — sanctioned by the reference, whose TRT
+    vocoder engines run FP16 (README.md:61-66); only the code predictor
+    needs BF16-or-better (README.md:72), which we already satisfy.
+    """
+    def cast(a):
+        if hasattr(a, "ndim") and a.ndim >= 2 and a.dtype == jnp.float32:
+            return a.astype(dtype)
+        return a
+    return jax.tree.map(cast, w)
 
 
 # ---------------------------------------------------------------------------

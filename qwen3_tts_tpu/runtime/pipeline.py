@@ -125,6 +125,10 @@ class Qwen3TTS:
             with GGUFReader(tok_path) as r:
                 self.voc_cfg = VocoderConfig.from_gguf(r)
                 self.voc_w = vocoder.load_vocoder_weights(r, self.voc_cfg)
+            if jax.default_backend() == "tpu":
+                # bf16 vocoder fast path (reference runs its TRT vocoder
+                # in FP16 — README.md:61-66)
+                self.voc_w = vocoder.cast_weights(self.voc_w)
             _log(f"  Vocoder loaded: sample_rate={self.voc_cfg.sample_rate}"
                  f", n_codebooks={self.voc_cfg.n_codebooks}"
                  f" ({_now_ms()-t1:.0f} ms)")
@@ -377,26 +381,39 @@ class Qwen3TTS:
             out.append(audio[:valid])
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
+    def _decode_chunk_batch(self, codes: np.ndarray) -> np.ndarray:
+        """[n, CHUNK, 16] -> [n, samples]; padded to the serving batch size
+        so one compiled vocoder graph serves every wave."""
+        return np.asarray(vocoder.vocoder_decode(
+            self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32)))
+
     def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
-        """Decode any stream that has accumulated a full 40-frame chunk."""
-        for b in range(len(frames)):
-            total = sum(len(f) for f in frames[b])
-            decoded = sum(len(a) for a in audio_parts[b])
-            # how many whole chunks are decodable
-            full = np.concatenate(frames[b]) if frames[b] else None
-            n_chunks_done = len(audio_parts[b])
-            while total - n_chunks_done * CHUNK_FRAMES >= CHUNK_FRAMES:
-                lo = n_chunks_done * CHUNK_FRAMES
-                part = full[lo:lo + CHUNK_FRAMES]
-                audio = self.decode_codes(part)
-                audio_parts[b].append(audio)
+        """Decode every stream that has accumulated a full 40-frame chunk,
+        batched across streams (one [n, 40] vocoder call per wave)."""
+        n_cb = self.talker_cfg.n_codebooks
+        while True:
+            ready: list[tuple[int, np.ndarray]] = []
+            for b in range(len(frames)):
+                total = sum(len(f) for f in frames[b])
+                done = len(audio_parts[b]) * CHUNK_FRAMES
+                if total - done >= CHUNK_FRAMES:
+                    full = np.concatenate(frames[b])
+                    ready.append((b, full[done:done + CHUNK_FRAMES]))
+            if not ready:
+                return
+            batch = np.zeros((len(frames), CHUNK_FRAMES, n_cb), np.int32)
+            for i, (_, part) in enumerate(ready):
+                batch[i] = part
+            audio = self._decode_chunk_batch(batch)
+            for i, (b, _) in enumerate(ready):
+                audio_parts[b].append(audio[i])
                 if on_chunk:
-                    on_chunk(b, audio)
-                n_chunks_done += 1
+                    on_chunk(b, audio[i])
 
     def _flush_streaming(self, b, frames, audio_parts, on_chunk) -> None:
-        """Decode the ragged tail (< 40 frames) of stream b
-        (flush, tts_transformer.cpp:2562-2570)."""
+        """Decode the ragged tail (< 40 frames) of stream b, zero-padded to
+        the fixed chunk — the TRT-path flush behavior
+        (trt_vocoder.cpp:109-166, tts_transformer.cpp:2562-2570)."""
         full = np.concatenate(frames[b]) if frames[b] else None
         if full is None:
             return
@@ -404,10 +421,11 @@ class Qwen3TTS:
         if done < len(full):
             part = full[done:]
             k = len(part)
-            padded = np.zeros((CHUNK_FRAMES, full.shape[1]), np.int32)
-            padded[:k] = part
-            audio = self.decode_codes(padded)
+            batch = np.zeros((len(frames), CHUNK_FRAMES, full.shape[1]),
+                             np.int32)
+            batch[0, :k] = part
+            audio = self._decode_chunk_batch(batch)
             valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg, k)
-            audio_parts[b].append(audio[:valid])
+            audio_parts[b].append(audio[0, :valid])
             if on_chunk:
-                on_chunk(b, audio[:valid])
+                on_chunk(b, audio[0, :valid])
