@@ -104,11 +104,23 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
-    kv_cache: [L, 2, B, S, n_kv, D]; write_idx: scalar int32 cache slot;
-    n_valid: [B] valid cache length AFTER this token is appended.
+    kv_cache: [L, 2, B, S, n_kv, D]; write_idx: scalar int32 OR [B] int32
+    cache slot(s) — per-stream indices enable continuous batching where
+    each stream sits at a different depth; n_valid: [B] valid cache length
+    AFTER this token is appended.
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
-    B = x.shape[0]
+    per_stream = getattr(write_idx, "ndim", 0) == 1
+
+    def write(cache_l, new_kv):
+        # cache_l: [2, B, S, kv, D]; new_kv: [2, B, 1, kv, D]
+        if not per_stream:
+            return jax.lax.dynamic_update_slice(
+                cache_l, new_kv, (0, 0, write_idx, 0, 0))
+        return jax.vmap(
+            lambda c_b, kv_b, idx_b: jax.lax.dynamic_update_slice(
+                c_b, kv_b, (0, idx_b, 0, 0)),
+            in_axes=(1, 1, 0), out_axes=1)(cache_l, new_kv, write_idx)
 
     def layer(carry, inputs):
         x = carry
@@ -117,8 +129,7 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta,
                        positions[:, None])
         new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
-        cache_l = jax.lax.dynamic_update_slice(
-            cache_l, new_kv, (0, 0, write_idx, 0, 0))
+        cache_l = write(cache_l, new_kv)
         attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
                                 cache_l[0], cache_l[1], n_valid)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],

@@ -159,12 +159,16 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
                 kv_cache: jax.Array, n_past: jax.Array):
     """Single-frame decode step (build_step_graph, tts_transformer.cpp:1376-1512).
 
-    step_embd: [B, hidden]; n_past: scalar int32 — tokens already in cache.
+    step_embd: [B, hidden]; n_past: scalar int32 OR [B] int32 — tokens
+    already in each stream's cache (per-stream for continuous batching).
     Returns (hidden [B,H] f32, logits [B,codec_vocab] f32, new_kv_cache).
     """
     B = step_embd.shape[0]
-    positions = jnp.full((B,), n_past, jnp.int32)
-    n_valid = jnp.full((B,), n_past + 1, jnp.int32)
+    if getattr(n_past, "ndim", 0) == 1:
+        positions = n_past.astype(jnp.int32)
+    else:
+        positions = jnp.full((B,), n_past, jnp.int32)
+    n_valid = positions + 1
     y, kv_cache = stack_step(
         w["layers"], step_embd, positions, kv_cache, n_past, n_valid,
         n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,

@@ -32,7 +32,13 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """q: [B, n_heads, D]; k, v: [B, S, n_kv, D]; n_valid: [B]."""
     impl = _IMPL
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        # Measured on v5e at B=16: the XLA einsum path wins for short
+        # padded contexts (<=1k); the Pallas kernel's per-program overhead
+        # (grid B*n_kv*blocks of tiny G-row tiles) only amortizes once the
+        # cache is long enough that skipping invalid blocks dominates.
+        S = k.shape[1]
+        use_flash = jax.default_backend() == "tpu" and S > 1024
+        impl = "flash" if use_flash else "xla"
     if impl == "flash":
         return flash_decode(q, k, v, n_valid)
     if impl == "flash_interpret":

@@ -34,8 +34,8 @@ from ..ops.sampling import sample_cb0
 
 class GenState(NamedTuple):
     kv_cache: jax.Array       # [L, 2, B, S, kv, D] bf16
-    n_past: jax.Array         # scalar int32 — talker cache fill level
-    frame_idx: jax.Array      # scalar int32 — frames generated so far
+    n_past: jax.Array         # [B] int32 — per-stream cache fill level
+    frame_idx: jax.Array      # [B] int32 — per-stream frames generated
     last_hidden: jax.Array    # [B, H] f32
     logits: jax.Array         # [B, codec_vocab] f32
     seen_mask: jax.Array      # [B, codec_vocab] bool — emitted CB0 ids
@@ -72,8 +72,8 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
     done = jnp.zeros((B,), bool) if active is None else ~active
     state = GenState(
         kv_cache=cache,
-        n_past=jnp.int32(P),
-        frame_idx=jnp.int32(0),
+        n_past=jnp.full((B,), P, jnp.int32),
+        frame_idx=jnp.zeros((B,), jnp.int32),
         last_hidden=hidden,
         logits=logits,
         seen_mask=jnp.zeros((B, cfg.codec_vocab_size), bool),
@@ -135,11 +135,11 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
 
         # next-step embedding: codec+code-pred embeds + trailing text row
         # (or tts_pad once the text schedule is exhausted,
-        # tts_transformer.cpp:2548-2553)
+        # tts_transformer.cpp:2548-2553); per-stream frame indices
         t_trail = consts.trailing_hidden.shape[1]
         row_idx = jnp.clip(state.frame_idx, 0, t_trail - 1)
-        trail_row = jax.lax.dynamic_index_in_dim(
-            consts.trailing_hidden, row_idx, axis=1, keepdims=False)
+        trail_row = jnp.take_along_axis(
+            consts.trailing_hidden, row_idx[:, None, None], axis=1)[:, 0]
         trail_row = jnp.where(
             (state.frame_idx < consts.trailing_len)[:, None],
             trail_row, consts.tts_pad_embed)
@@ -149,10 +149,14 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         hidden, logits, cache = talker.talker_step(
             w, cfg, step_embd, state.kv_cache, state.n_past)
 
+        # Done streams freeze: their position stops advancing so a parked
+        # slot never walks off the end of the cache while waiting for a
+        # new request (continuous batching).
+        advance = (~done).astype(jnp.int32)
         new_state = GenState(
             kv_cache=cache,
-            n_past=state.n_past + 1,
-            frame_idx=state.frame_idx + 1,
+            n_past=state.n_past + advance,
+            frame_idx=state.frame_idx + advance,
             last_hidden=hidden,
             logits=logits,
             seen_mask=seen,
@@ -164,6 +168,62 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     state, (codes, valid) = jax.lax.scan(step, state, None,
                                          length=chunk_frames)
     return state, codes, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("state", "consts"))
+def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
+               slot: jax.Array, prefill: talker.PrefillInputs):
+    """Splice a new request into slot `slot` of a live serving batch.
+
+    Runs the B=1 prefill and writes its K/V + per-slot state/consts rows
+    in place (donated buffers). The continuous-batching primitive the
+    reference's serial server (main.cpp:109-163) has no analogue of:
+    other streams keep generating between chunks while slots turn over.
+
+    prefill: PrefillInputs with leading dim 1; trailing_hidden must already
+    be padded/truncated to consts.trailing_hidden.shape[1].
+    """
+    from ..models.stack import stack_prefill
+
+    P = prefill.prefill_embd.shape[1]
+    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    y, ks, vs = stack_prefill(
+        w["layers"], prefill.prefill_embd, positions,
+        n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
+        head_dim=cfg.head_dim, eps=cfg.rms_norm_eps, theta=cfg.rope_theta)
+    from ..ops.layers import rms_norm
+    h = rms_norm(y[:, -1], w["output_norm"], cfg.rms_norm_eps)
+    logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
+                     preferred_element_type=jnp.float32)
+
+    kv = jnp.stack([ks, vs], axis=1).astype(state.kv_cache.dtype)  # [L,2,1,P,kv,D]
+    cache = jax.lax.dynamic_update_slice(
+        state.kv_cache, kv, (0, 0, slot, 0, 0, 0))
+
+    expected = jnp.maximum(20, prefill.n_text_tokens[0] * 4).astype(jnp.int32)
+    new_state = GenState(
+        kv_cache=cache,
+        n_past=state.n_past.at[slot].set(P),
+        frame_idx=state.frame_idx.at[slot].set(0),
+        last_hidden=state.last_hidden.at[slot].set(h[0]),
+        logits=state.logits.at[slot].set(logits[0]),
+        seen_mask=state.seen_mask.at[slot].set(False),
+        done=state.done.at[slot].set(False),
+        key=state.key,
+    )
+    new_consts = GenConsts(
+        trailing_hidden=consts.trailing_hidden.at[slot].set(
+            prefill.trailing_hidden[0]),
+        trailing_len=consts.trailing_len.at[slot].set(
+            prefill.trailing_len[0]),
+        tts_pad_embed=consts.tts_pad_embed.at[slot].set(
+            prefill.tts_pad_embed[0]),
+        expected_frames=consts.expected_frames.at[slot].set(expected),
+        temperature=consts.temperature,
+        repetition_penalty=consts.repetition_penalty,
+    )
+    return new_state, new_consts
 
 
 def required_ctx(prefill_len: int, max_frames: int, chunk: int = 40,

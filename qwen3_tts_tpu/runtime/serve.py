@@ -1,0 +1,211 @@
+"""Continuous-batching serving engine.
+
+The reference's --serve loop handles one request at a time
+(main.cpp:109-163). Here a fixed pool of B stream slots generates in
+lock-step 40-frame chunks; finished slots are re-admitted with new
+requests at chunk boundaries (admit latency <= one chunk) while the other
+streams keep producing audio — the centerpiece capability of the TPU
+rebuild (SURVEY.md §2 DP row: ">=16 realtime streams/chip").
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import talker, vocoder
+from .generate import (GenConsts, GenState, admit_slot, generate_chunk,
+                       init_state, make_consts, required_ctx)
+from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
+
+
+@dataclass
+class _Slot:
+    busy: bool = False
+    request_id: int = -1
+    frames: list = field(default_factory=list)
+    audio: list = field(default_factory=list)
+    max_frames: int = 0
+    t_start: float = 0.0
+    on_audio: Callable[[np.ndarray, bool], None] | None = None
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over one jitted generation step.
+
+    Usage:
+        cb = ContinuousBatcher(engine, n_slots=16, params=TTSParams(...))
+        rid = cb.submit("hello world.", embedding=None)
+        while cb.pending():
+            done = cb.step()          # one 40-frame chunk for all slots
+            for rid, result in done.items(): ...
+    """
+
+    def __init__(self, engine: Qwen3TTS, n_slots: int = 16,
+                 params: TTSParams | None = None,
+                 max_frames: int = 1024, trailing_buf: int = 256):
+        self.engine = engine
+        self.params = params or TTSParams()
+        self.n_slots = n_slots
+        self.max_frames = max_frames
+        self.trailing_buf = trailing_buf
+        cfg = engine.talker_cfg
+        self.cfg = cfg
+        self.slots = [_Slot() for _ in range(n_slots)]
+        self._queue: list[tuple[int, str, np.ndarray | None,
+                                Callable | None]] = []
+        self._next_id = 0
+        self._results: dict[int, TTSResult] = {}
+
+        # bootstrap state with a dummy prefill; all slots parked (done)
+        dummy_tokens = jnp.zeros((n_slots, 16), jnp.int32)
+        lens = jnp.full((n_slots,), 16, jnp.int32)
+        spk = jnp.zeros((n_slots, cfg.hidden_size), jnp.float32)
+        prefill = talker.build_prefill_inputs(
+            engine.talker_w, cfg, dummy_tokens, lens, spk)
+        prefill = prefill._replace(
+            trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
+        # slack: parked slots write one garbage row past a finished
+        # stream's frozen position
+        self.ctx = required_ctx(prefill.prefill_embd.shape[1],
+                                max_frames, CHUNK_FRAMES)
+        seed = self.params.seed if self.params.seed is not None else 0
+        self.state = init_state(engine.talker_w, cfg, prefill, self.ctx,
+                                jax.random.PRNGKey(seed),
+                                active=jnp.zeros((n_slots,), bool))
+        self.consts = make_consts(prefill, self.params.temperature,
+                                  self.params.repetition_penalty)
+
+    # ------------------------------------------------------------------
+    def _pad_trailing(self, trailing: jax.Array) -> jax.Array:
+        t = trailing.shape[1]
+        if t < self.trailing_buf:
+            return jnp.pad(trailing,
+                           ((0, 0), (0, self.trailing_buf - t), (0, 0)))
+        return trailing[:, :self.trailing_buf]
+
+    def submit(self, text: str, embedding: np.ndarray | None = None,
+               on_audio: Callable[[np.ndarray, bool], None] | None = None,
+               ) -> int:
+        """Queue a request; returns a request id. on_audio(samples, final)
+        fires per decoded chunk."""
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, text, embedding, on_audio))
+        self._admit_pending()
+        return rid
+
+    def pending(self) -> bool:
+        return bool(self._queue) or any(s.busy for s in self.slots)
+
+    def _admit_pending(self) -> None:
+        cfg = self.cfg
+        for slot_idx, slot in enumerate(self.slots):
+            if not self._queue:
+                break
+            if slot.busy:
+                continue
+            rid, text, embedding, on_audio = self._queue.pop(0)
+            tokens = self.engine.tokenizer.encode_for_tts(text)
+            tok = jnp.asarray(np.asarray(tokens, np.int32)[None])
+            tlen = jnp.asarray([len(tokens)], jnp.int32)
+            spk = (jnp.asarray(embedding, jnp.float32)[None]
+                   if embedding is not None
+                   else jnp.zeros((1, cfg.hidden_size), jnp.float32))
+            prefill = talker.build_prefill_inputs(
+                self.engine.talker_w, cfg, tok, tlen, spk,
+                language_id=jnp.full((1,), self.params.language_id,
+                                     jnp.int32))
+            prefill = prefill._replace(
+                trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
+            self.state, self.consts = admit_slot(
+                self.engine.talker_w, cfg, self.state, self.consts,
+                jnp.int32(slot_idx), prefill)
+            self.slots[slot_idx] = _Slot(
+                busy=True, request_id=rid, max_frames=self.max_frames,
+                t_start=time.monotonic(), on_audio=on_audio)
+
+    # ------------------------------------------------------------------
+    def step(self) -> dict[int, TTSResult]:
+        """Run one 40-frame chunk across all slots; admit queued requests
+        into freed slots; return results for requests that finished."""
+        self.state, codes, valid = generate_chunk(
+            self.engine.talker_w, self.cfg, self.state, self.consts,
+            self.params.top_k, CHUNK_FRAMES)
+        codes_h = np.asarray(codes)      # [chunk, B, 16]
+        valid_h = np.asarray(valid)      # [chunk, B]
+        done_h = np.asarray(self.state.done)
+
+        finished: dict[int, TTSResult] = {}
+        for b, slot in enumerate(self.slots):
+            if not slot.busy:
+                continue
+            got = codes_h[valid_h[:, b], b]
+            n_have = sum(len(f) for f in slot.frames)
+            if n_have + len(got) > slot.max_frames:
+                got = got[:slot.max_frames - n_have]
+            if len(got):
+                slot.frames.append(got)
+            n_have += len(got)
+            is_done = bool(done_h[b]) or n_have >= slot.max_frames
+
+            # stream audio for every completed 40-frame chunk
+            self._decode_ready(slot, final=False)
+            if is_done:
+                self._decode_ready(slot, final=True)
+                finished[slot.request_id] = self._finalize(slot)
+                self.slots[b] = _Slot()
+        self._admit_pending()
+        return finished
+
+    def _decode_ready(self, slot: _Slot, final: bool) -> None:
+        if self.engine.voc_w is None:
+            return
+        total = sum(len(f) for f in slot.frames)
+        done = len(slot.audio) * CHUNK_FRAMES
+        full = (np.concatenate(slot.frames)
+                if slot.frames else np.zeros((0, self.cfg.n_codebooks),
+                                             np.int32))
+        while total - done >= CHUNK_FRAMES:
+            chunk = full[done:done + CHUNK_FRAMES]
+            audio = self.engine.decode_codes(chunk)
+            slot.audio.append(audio)
+            if slot.on_audio:
+                slot.on_audio(audio, False)
+            done += CHUNK_FRAMES
+        if final and total - done > 0:
+            part = full[done:]
+            k = len(part)
+            padded = np.zeros((CHUNK_FRAMES, self.cfg.n_codebooks), np.int32)
+            padded[:k] = part
+            audio = self.engine.decode_codes(padded)
+            valid = vocoder.vocoder_output_length(
+                self.engine.voc_w, self.engine.voc_cfg, k)
+            slot.audio.append(audio[:valid])
+            if slot.on_audio:
+                slot.on_audio(audio[:valid], True)
+
+    def _finalize(self, slot: _Slot) -> TTSResult:
+        r = TTSResult()
+        r.n_frames = sum(len(f) for f in slot.frames)
+        r.audio = (np.concatenate(slot.audio)
+                   if slot.audio else np.zeros(0, np.float32))
+        r.sample_rate = (self.engine.voc_cfg.sample_rate
+                         if self.engine.voc_cfg else 24000)
+        r.success = r.n_frames > 0
+        if not r.success:
+            r.error_msg = "No speech codes generated"
+        r.t_total_ms = (time.monotonic() - slot.t_start) * 1e3
+        return r
+
+    def run_all(self) -> dict[int, TTSResult]:
+        """Drive step() until every queued/running request completes."""
+        out: dict[int, TTSResult] = {}
+        while self.pending():
+            out.update(self.step())
+        return out

@@ -31,15 +31,25 @@ def test_chunk_shapes_and_chaining(setup):
     ctx = required_ctx(P, 8, 4)
     state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
     consts = make_consts(prefill, 0.0, 1.05)
-    assert int(state.n_past) == P
+    np.testing.assert_array_equal(np.asarray(state.n_past), [P, P])
     state, codes, valid = generate_chunk(w, cfg, state, consts, 50, 4)
     assert codes.shape == (4, 2, cfg.n_codebooks)
     assert valid.shape == (4, 2)
-    assert int(state.n_past) == P + 4
-    assert int(state.frame_idx) == 4
-    # chaining another chunk continues positions
+    # per-stream positions advance while the stream is live
+    n_past = np.asarray(state.n_past)
+    frame_idx = np.asarray(state.frame_idx)
+    done = np.asarray(state.done)
+    for b in range(2):
+        if not done[b]:
+            assert n_past[b] == P + 4
+            assert frame_idx[b] == 4
+        else:
+            assert n_past[b] <= P + 4
+    # chaining another chunk keeps advancing live streams
     state, codes, valid = generate_chunk(w, cfg, state, consts, 50, 4)
-    assert int(state.n_past) == P + 8
+    n_past2 = np.asarray(state.n_past)
+    assert np.all(n_past2 >= n_past)
+    assert np.all(n_past2 <= P + 8)
 
 
 def test_valid_false_after_eos(setup):

@@ -1,0 +1,91 @@
+"""Continuous-batching serving engine tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.models import vocoder as voc_mod
+from qwen3_tts_tpu.models.weights import init_talker_weights, tiny_talker_config
+from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+from qwen3_tts_tpu.runtime.serve import ContinuousBatcher
+
+from .test_tokenizer import make_tiny_tokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.default_rng(90)
+    talker_cfg = tiny_talker_config()
+    talker_w = init_talker_weights(rng, talker_cfg)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    return Qwen3TTS.from_components(make_tiny_tokenizer(), talker_cfg,
+                                    talker_w, voc_cfg, voc_w)
+
+
+def _params():
+    return TTSParams(temperature=0.0, top_k=50, print_timing=False, seed=0)
+
+
+def test_two_requests_complete(engine):
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=12)
+    r1 = cb.submit("hello world.")
+    r2 = cb.submit("hello.")
+    results = cb.run_all()
+    assert set(results) == {r1, r2}
+    for r in results.values():
+        assert r.success
+        assert r.n_frames >= 1
+        assert len(r.audio) > 0
+
+
+def test_more_requests_than_slots(engine):
+    """Queued requests admit into freed slots — 5 requests over 2 slots."""
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=8)
+    rids = [cb.submit(f"hello world.") for _ in range(5)]
+    results = cb.run_all()
+    assert set(results) == set(rids)
+    assert all(r.success for r in results.values())
+
+
+def test_continuous_matches_lockstep_greedy(engine):
+    """A request admitted to a continuous batch must produce the same
+    greedy frames as standalone synthesis (slot isolation)."""
+    base = engine.synthesize(
+        "hello world.", TTSParams(max_audio_tokens=12, temperature=0.0,
+                                  print_timing=False, seed=0))
+    cb = ContinuousBatcher(engine, n_slots=3, params=_params(), max_frames=12)
+    rid = cb.submit("hello world.")
+    res = cb.run_all()[rid]
+    assert res.n_frames == base.n_frames
+    np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
+
+
+def test_late_join_isolation(engine):
+    """A request admitted mid-flight (after another stream has generated
+    chunks) must still match its standalone output."""
+    p = _params()
+    base = engine.synthesize(
+        "hello.", TTSParams(max_audio_tokens=8, temperature=0.0,
+                            print_timing=False, seed=0))
+    cb = ContinuousBatcher(engine, n_slots=2, params=p, max_frames=8)
+    cb.submit("hello world. hello world. hello world.")
+    cb.step()  # first stream runs a chunk alone
+    rid2 = cb.submit("hello.")
+    results = cb.run_all()
+    res = results[rid2]
+    assert res.n_frames == base.n_frames
+    np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
+
+
+def test_streaming_callback(engine):
+    got = []
+    cb = ContinuousBatcher(engine, n_slots=1, params=_params(), max_frames=6)
+    cb.submit("hello world.", on_audio=lambda a, final: got.append((len(a), final)))
+    results = cb.run_all()
+    assert got, "on_audio never fired"
+    assert got[-1][1] is True  # final chunk flagged
+    total = sum(n for n, _ in got)
+    assert total == len(list(results.values())[0].audio)
