@@ -68,19 +68,30 @@ def causal_conv1d(x: jax.Array, w: jax.Array, b: jax.Array | None,
 def conv_transpose1d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
     """ConvTranspose1d with torch/GGML semantics: out = (T-1)*stride + K.
 
-    x: [B, T, C_in]; w: [C_in, C_out, K] (torch ConvTranspose1d order).
-    Implemented as an input-dilated convolution with a flipped kernel —
-    the exact scatter-add semantics of ggml_conv_transpose_1d
+    x: [B, T, C_in]; w: [C_in, C_out, K] (torch ConvTranspose1d order);
+    exact scatter-add semantics of ggml_conv_transpose_1d
     (audio_tokenizer_decoder.cpp:498, :596).
+
+    TPU formulation: ONE dense matmul [B*T, C_in] x [C_in, C_out*K]
+    followed by ceil(K/stride) shifted adds — instead of an input-dilated
+    convolution, which makes XLA multiply (stride-1)/stride zeros and is
+    ~stride-times off the MXU roofline.
     """
-    k = w.shape[-1]
-    wk = jnp.transpose(w[:, :, ::-1], (2, 0, 1))  # flip K -> [K, C_in, C_out]
-    return jax.lax.conv_general_dilated(
-        x.astype(w.dtype), wk,
-        window_strides=(1,), padding=[(k - 1, k - 1)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
+    B, T, c_in = x.shape
+    c_out, k = w.shape[1], w.shape[2]
+    m = jnp.einsum("btc,cok->btok", x.astype(w.dtype), w,
+                   preferred_element_type=jnp.float32)       # [B,T,Co,K]
+    n_shift = -(-k // stride)
+    k_pad = n_shift * stride
+    if k_pad > k:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, k_pad - k)))
+    m = m.reshape(B, T, c_out, n_shift, stride)
+    n_blocks = T - 1 + n_shift
+    out = jnp.zeros((B, n_blocks, c_out, stride), jnp.float32)
+    for s in range(n_shift):
+        out = out.at[:, s:s + T].add(m[:, :, :, s, :])
+    flat = out.transpose(0, 1, 3, 2).reshape(B, n_blocks * stride, c_out)
+    return flat[:, :(T - 1) * stride + k]
 
 
 def snake(x: jax.Array, alpha_log: jax.Array, beta_log: jax.Array) -> jax.Array:
