@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="Sampling seed")
     p.add_argument("--batch", type=int, default=1,
                    help="Server mode: max concurrent lock-step streams")
+    p.add_argument("--continuous", action="store_true",
+                   help="Server mode: continuous batching — requests join "
+                        "a running batch at 40-frame chunk boundaries")
+    p.add_argument("--max-frames", type=int, default=1024,
+                   help="Continuous mode: per-request frame cap")
     return p
 
 
@@ -149,6 +154,91 @@ def run_server(tts: Qwen3TTS, speaker_embd, reference_audio,
     return 0
 
 
+def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
+                          n_slots: int, max_frames: int,
+                          stdin=None, stdout=None) -> int:
+    """Continuous-batching server: same stdin TSV protocol, but requests
+    are admitted into a running batch at chunk boundaries instead of being
+    processed serially. A reader thread feeds the request queue so
+    generation never blocks on input."""
+    import queue
+    import threading
+
+    from .runtime.serve import ContinuousBatcher
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    _err(f"\nServer ready (continuous, {n_slots} slots). "
+         "Send: text<TAB>output.wav  (or 'quit' to exit)")
+
+    requests: "queue.Queue[tuple[str, str] | None]" = queue.Queue()
+
+    def reader() -> None:
+        for line in stdin:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            if line in ("quit", "exit"):
+                break
+            if "\t" in line:
+                text, out_file = line.split("\t", 1)
+            else:
+                text, out_file = line, "output.wav"
+            requests.put((text, out_file))
+        requests.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    cb = ContinuousBatcher(tts, n_slots=n_slots, params=params,
+                           max_frames=max_frames)
+    outputs: dict[int, str] = {}
+    eof = False
+    while not eof or cb.pending():
+        # admit everything queued right now
+        drained = False
+        while True:
+            try:
+                item = requests.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                eof = True
+                break
+            text, out_file = item
+            rid = cb.submit(text, speaker_embd)
+            outputs[rid] = out_file
+            drained = True
+            _err(f'Admitted: "{text}" -> {out_file}')
+        if not cb.pending():
+            if eof:
+                break
+            # idle: block for the next request
+            item = requests.get()
+            if item is None:
+                break
+            text, out_file = item
+            rid = cb.submit(text, speaker_embd)
+            outputs[rid] = out_file
+            continue
+        for rid, res in cb.step().items():
+            out_file = outputs.pop(rid, "output.wav")
+            if not res.success:
+                stdout.write(f"ERR\t{res.error_msg}\n")
+                stdout.flush()
+                continue
+            try:
+                audio_io.save_wav(out_file, res.audio, res.sample_rate)
+            except OSError:
+                stdout.write(f"ERR\tfailed to save {out_file}\n")
+                stdout.flush()
+                continue
+            dur = len(res.audio) / res.sample_rate
+            stdout.write(f"OK\t{dur:.2f}\t{res.t_total_ms:.0f}\t{out_file}\n")
+            stdout.flush()
+    _err("Server shutting down.")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -182,6 +272,9 @@ def main(argv=None) -> int:
             return 1
 
     if args.serve:
+        if args.continuous:
+            return run_server_continuous(tts, speaker_embd, params,
+                                         max(args.batch, 2), args.max_frames)
         return run_server(tts, speaker_embd, args.reference, params,
                           args.batch)
 
