@@ -87,9 +87,12 @@ def conv_transpose1d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
         m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, k_pad - k)))
     m = m.reshape(B, T, c_out, n_shift, stride)
     n_blocks = T - 1 + n_shift
-    out = jnp.zeros((B, n_blocks, c_out, stride), jnp.float32)
+    # shift-add via zero-padded slices (adds fuse; no XLA scatter)
+    out = None
     for s in range(n_shift):
-        out = out.at[:, s:s + T].add(m[:, :, :, s, :])
+        part = jnp.pad(m[:, :, :, s, :],
+                       ((0, 0), (s, n_blocks - T - s), (0, 0), (0, 0)))
+        out = part if out is None else out + part
     flat = out.transpose(0, 1, 3, 2).reshape(B, n_blocks * stride, c_out)
     return flat[:, :(T - 1) * stride + k]
 

@@ -40,7 +40,12 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         use_flash = jax.default_backend() == "tpu" and S > 1024
         impl = "flash" if use_flash else "xla"
     if impl == "flash":
-        return flash_decode(q, k, v, n_valid)
+        try:
+            return flash_decode(q, k, v, n_valid)
+        except Exception:
+            # graceful degradation, mirroring the reference's
+            # backend-fallback behavior (tts_transformer.cpp:2164-2183)
+            return gqa_attention_step(q, k, v, n_valid)
     if impl == "flash_interpret":
         return flash_decode(q, k, v, n_valid, interpret=True)
     return gqa_attention_step(q, k, v, n_valid)

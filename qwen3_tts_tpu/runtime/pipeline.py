@@ -99,12 +99,22 @@ class Qwen3TTS:
         self.spk_w: dict[str, Any] | None = None
         self._tts_model_path: str | None = None
         self.error_msg = ""
+        self.low_mem = False
 
     # -- loading ------------------------------------------------------------
     def load_models(self, model_dir: str) -> bool:
         """Load tokenizer + talker eagerly, vocoder eagerly, speaker encoder
-        lazily (load_models, qwen3_tts.cpp:107-230)."""
+        lazily (load_models, qwen3_tts.cpp:107-230).
+
+        QWEN3_TTS_LOW_MEM=1 keeps vocoder weights in host memory and stages
+        them to the device per decode — the TPU analogue of the reference's
+        low-memory component unloading (qwen3_tts.cpp:125-128, :486-527).
+        """
         t0 = _now_ms()
+        low_mem = os.environ.get("QWEN3_TTS_LOW_MEM", "")
+        self.low_mem = bool(low_mem) and low_mem != "0"
+        if self.low_mem:
+            _log("  Low-memory mode enabled (host-resident vocoder weights)")
         tts_path = os.path.join(model_dir, "qwen3-tts-0.6b-f16.gguf")
         tok_path = os.path.join(model_dir, "qwen3-tts-tokenizer-f16.gguf")
         self._tts_model_path = tts_path
@@ -129,6 +139,8 @@ class Qwen3TTS:
                 # bf16 vocoder fast path (reference runs its TRT vocoder
                 # in FP16 — README.md:61-66)
                 self.voc_w = vocoder.cast_weights(self.voc_w)
+            if self.low_mem:
+                self.voc_w = jax.tree.map(np.asarray, self.voc_w)
             _log(f"  Vocoder loaded: sample_rate={self.voc_cfg.sample_rate}"
                  f", n_codebooks={self.voc_cfg.n_codebooks}"
                  f" ({_now_ms()-t1:.0f} ms)")
