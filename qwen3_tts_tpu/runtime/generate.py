@@ -226,6 +226,14 @@ def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     return new_state, new_consts
 
 
+@partial(jax.jit, donate_argnames=("state",))
+def park_slot(state: GenState, slot: jax.Array) -> GenState:
+    """Mark a slot done on-device (used when a request is retired by its
+    frame cap rather than by sampling EOS) so the stream stops advancing
+    its cache position until a new request is admitted."""
+    return state._replace(done=state.done.at[slot].set(True))
+
+
 def required_ctx(prefill_len: int, max_frames: int, chunk: int = 40,
                  align: int = 128) -> int:
     """Talker cache size: prefill + frames rounded up to whole chunks +

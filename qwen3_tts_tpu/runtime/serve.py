@@ -20,7 +20,7 @@ import numpy as np
 
 from ..models import talker, vocoder
 from .generate import (GenConsts, GenState, admit_slot, generate_chunk,
-                       init_state, make_consts, required_ctx)
+                       init_state, make_consts, park_slot, required_ctx)
 from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
 
 
@@ -157,6 +157,10 @@ class ContinuousBatcher:
             # stream audio for every completed 40-frame chunk
             self._decode_ready(slot, final=False)
             if is_done:
+                if not bool(done_h[b]):
+                    # retired by the frame cap, not EOS: stop the device
+                    # stream so its cache position freezes
+                    self.state = park_slot(self.state, jnp.int32(b))
                 self._decode_ready(slot, final=True)
                 finished[slot.request_id] = self._finalize(slot)
                 self.slots[b] = _Slot()

@@ -80,6 +80,22 @@ def test_late_join_isolation(engine):
     np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
 
 
+def test_slot_reuse_after_frame_cap(engine):
+    """A slot retired by its frame cap (not EOS) must be parked on-device
+    and a reused slot must still match standalone output."""
+    p = _params()
+    base = engine.synthesize(
+        "hello world.", TTSParams(max_audio_tokens=4, temperature=0.0,
+                                  print_timing=False, seed=0))
+    cb = ContinuousBatcher(engine, n_slots=1, params=p, max_frames=4)
+    rids = [cb.submit("hello world.") for _ in range(3)]
+    results = cb.run_all()
+    for rid in rids:
+        res = results[rid]
+        assert res.n_frames == base.n_frames
+        np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
+
+
 def test_streaming_callback(engine):
     got = []
     cb = ContinuousBatcher(engine, n_slots=1, params=_params(), max_frames=6)
