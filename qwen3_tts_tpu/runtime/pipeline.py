@@ -100,6 +100,7 @@ class Qwen3TTS:
         self._tts_model_path: str | None = None
         self.error_msg = ""
         self.low_mem = False
+        self.mesh = None
 
     # -- loading ------------------------------------------------------------
     def load_models(self, model_dir: str) -> bool:
@@ -162,6 +163,19 @@ class Qwen3TTS:
         self.voc_w = voc_w
         self.spk_cfg = spk_cfg
         self.spk_w = spk_w
+        return self
+
+    def shard(self, mesh) -> "Qwen3TTS":
+        """Shard talker weights over a jax.sharding Mesh (dp x tp).
+
+        After this, every jitted generation function runs SPMD over the
+        mesh — the batch of streams splits across `dp`, and (optionally)
+        the talker's row-parallel matmuls across `tp`, with XLA GSPMD
+        inserting the ICI collectives. The reference has no multi-device
+        story at all (SURVEY.md §2 parallelism table)."""
+        from ..parallel.mesh import shard_talker_weights
+        self.talker_w = shard_talker_weights(self.talker_w, mesh)
+        self.mesh = mesh
         return self
 
     def _ensure_speaker_encoder(self) -> bool:

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Per-stage breakdown of the generation step on TPU.
+
+Times, at full 0.6B scale and serving batch B:
+  - talker decode step alone (28 layers)
+  - code predictor alone (2-token prefill + 14 AR steps)
+  - CB0 sampling alone
+  - next-step embedding gather alone
+  - full fused chunk (reference composition)
+
+Usage: python tools/bench_breakdown.py [--batch 16] [--iters 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu.config import TalkerConfig
+    from qwen3_tts_tpu.models import code_predictor, talker
+    from qwen3_tts_tpu.models.stack import init_kv_cache
+    from qwen3_tts_tpu.models.weights import init_talker_weights_device
+    from qwen3_tts_tpu.ops.sampling import sample_cb0
+    from qwen3_tts_tpu.runtime.generate import (
+        generate_chunk, init_state, make_consts, required_ctx)
+
+    def sync(x):
+        jax.device_get(jax.tree.leaves(x)[-1])
+
+    B = args.batch
+    N = args.iters
+    cfg = TalkerConfig()
+    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
+    sync(w)
+    rng = np.random.default_rng(0)
+
+    tokens = jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32)
+    lens = jnp.full((B,), 48, jnp.int32)
+    spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
+    prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
+    ctx = required_ctx(prefill.prefill_embd.shape[1], 400, 40)
+    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1))
+    consts = make_consts(prefill, 0.9, 1.05)
+    sync(state.logits)
+
+    def timeit(name, fn, *a, **kw):
+        out = fn(*a, **kw)
+        sync(out)
+        t0 = time.monotonic()
+        for _ in range(N):
+            out = fn(*a, **kw)
+        sync(out)
+        ms = (time.monotonic() - t0) / N * 1e3
+        log(f"{name:<28} {ms:8.3f} ms/iter")
+        return ms
+
+    hidden = state.last_hidden
+    cb0 = jnp.asarray(rng.integers(0, 2048, (B,)), jnp.int32)
+    key = jax.random.PRNGKey(2)
+    n_past = state.n_past
+
+    # NOTE: each timed fn is independently jitted; state not donated so the
+    # same buffers can be reused across iterations.
+    talker_jit = jax.jit(partial(talker.talker_step, w, cfg))
+    t_talker = timeit("talker_step (28L)", talker_jit,
+                      hidden, state.kv_cache, n_past)
+
+    cp_jit = jax.jit(partial(code_predictor.predict_codes, w, cfg,
+                             top_k=50))
+    t_cp = timeit("code_predictor (16 codes)", cp_jit, hidden, cb0,
+                  jnp.float32(0.9), key=key)
+
+    samp_jit = jax.jit(partial(sample_cb0, eos_id=cfg.codec_eos_id,
+                               suppress_start=2048, top_k=50))
+    t_s = timeit("sample_cb0", samp_jit, state.logits, state.seen_mask,
+                 state.frame_idx, consts.expected_frames,
+                 jnp.float32(1.05), jnp.float32(0.9), key)
+
+    codes16 = jnp.asarray(rng.integers(0, 2048, (B, 16)), jnp.int32)
+    emb_jit = jax.jit(partial(code_predictor.frame_step_embedding, w, cfg))
+    t_e = timeit("frame_step_embedding", emb_jit, codes16,
+                 consts.tts_pad_embed)
+
+    log(f"{'sum of stages':<28} {t_talker + t_cp + t_s + t_e:8.3f} ms/frame")
+
+    # fused chunk for comparison (donating copy of state)
+    t0 = time.monotonic()
+    state2, codes, valid = generate_chunk(w, cfg, state, consts, 50, 40)
+    sync(codes)
+    log(f"fused chunk compile+run: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    for _ in range(3):
+        state2, codes, valid = generate_chunk(w, cfg, state2, consts, 50, 40)
+    sync(codes)
+    log(f"{'fused chunk (per frame)':<28} "
+        f"{(time.monotonic()-t0)/3/40*1e3:8.3f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()
