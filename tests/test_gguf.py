@@ -96,3 +96,30 @@ def test_q4_k_dequant_roundtrip_structure():
     np.testing.assert_allclose(y[:32], 2 * 3.0)   # sub-block 0: d*sc*q = 1*2*3
     np.testing.assert_allclose(y[32:64], 1 * 3.0)
     np.testing.assert_allclose(y[128:], 3.0)      # sub-blocks 4..7 sc=1
+
+
+def test_reader_supports_v2(tmp_path, rng):
+    """GGUF v2 files differ only in the version field for the subset we
+    parse; the reader accepts both (gguf_loader.cpp consumes either)."""
+    import struct
+    w = GGUFWriter("qwen3-tts")
+    w.add("qwen3-tts.block_count", 4)
+    a = rng.standard_normal((4, 8)).astype(np.float32)
+    w.add_tensor("t", a, GGML_F32)
+    path = str(tmp_path / "v2.gguf")
+    w.write(path)
+    with open(path, "r+b") as f:
+        f.seek(4)
+        f.write(struct.pack("<I", 2))  # patch version to 2
+    with GGUFReader(path) as r:
+        assert r.version == 2
+        assert r.get("qwen3-tts.block_count") == 4
+        np.testing.assert_array_equal(r.tensor_data("t"), a)
+
+
+def test_reader_rejects_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.gguf")
+    with open(path, "wb") as f:
+        f.write(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a GGUF"):
+        GGUFReader(path)
