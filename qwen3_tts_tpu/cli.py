@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true",
                    help="Server mode: read requests from stdin")
     p.add_argument("--seed", type=int, default=None, help="Sampling seed")
+    p.add_argument("--language-id", type=int, default=2050,
+                   help="Codec language id (default 2050 = English, "
+                        "qwen3_tts.cpp:461)")
     p.add_argument("--batch", type=int, default=1,
                    help="Server mode: max concurrent lock-step streams")
     p.add_argument("--continuous", action="store_true",
@@ -252,6 +255,7 @@ def main(argv=None) -> int:
         top_p=args.top_p,
         top_k=args.top_k,
         repetition_penalty=args.repetition_penalty,
+        language_id=args.language_id,
         seed=args.seed,
     )
 

@@ -232,6 +232,10 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return s / jnp.maximum(jnp.sum(mask, axis=1), 1.0)[:, None]
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
 def encode(w, cfg: SpeakerEncoderConfig, mel: jax.Array,
            n_valid: jax.Array) -> jax.Array:
     """ECAPA-TDNN forward (build_graph, audio_tokenizer_encoder.cpp:438-694).

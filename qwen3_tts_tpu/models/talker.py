@@ -45,6 +45,10 @@ class PrefillInputs(NamedTuple):
     n_text_tokens: jax.Array     # [B] int32 (full templated token count)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "use_think"))
 def build_prefill_inputs(w, cfg: TalkerConfig, tokens: jax.Array,
                          token_len: jax.Array, speaker_embd: jax.Array,
                          language_id: jax.Array | None = None,

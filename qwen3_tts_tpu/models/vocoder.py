@@ -346,6 +346,10 @@ def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int) -> int:
     return t
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
 def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     """Decode codes [B, F, n_codebooks] int32 -> audio [B, F*1920] f32.
 

@@ -53,6 +53,7 @@ class GenConsts(NamedTuple):
     repetition_penalty: jax.Array  # scalar f32
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_ctx"))
 def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
                max_ctx: int, key: jax.Array,
                active: jax.Array | None = None) -> GenState:
