@@ -136,6 +136,17 @@ def build_prefill_inputs(w, cfg: TalkerConfig, tokens: jax.Array,
                          token_len.astype(jnp.int32))
 
 
+def forward_text(w, cfg: TalkerConfig, tokens: jax.Array,
+                 speaker_embd: jax.Array | None, kv_cache: jax.Array):
+    """Project text tokens (+ optional speaker embedding added to every
+    row) and run a prefill — API parity with TTSTransformer::forward_text
+    (tts_transformer.cpp:1922-1950). tokens: [B, T] int32."""
+    x = project_text_tokens(w, tokens)
+    if speaker_embd is not None:
+        x = x + speaker_embd[:, None, :].astype(jnp.float32)
+    return talker_prefill(w, cfg, x, kv_cache)
+
+
 def talker_prefill(w, cfg: TalkerConfig, prefill_embd: jax.Array,
                    kv_cache: jax.Array):
     """Batched prefill from an empty cache.

@@ -136,3 +136,28 @@ def test_nothink_prefill_len(setup):
         jnp.zeros((1, cfg.hidden_size), jnp.float32), use_think=False)
     # nothink: 3 prefix + 1 speaker + 2 tail = 6 codec rows -> prefill 9
     assert pi.prefill_embd.shape[1] == 9
+
+
+def test_forward_text_api(setup):
+    """forward_text = project + optional speaker add + prefill
+    (tts_transformer.cpp:1922-1950)."""
+    cfg, w = setup
+    B, T = 2, 5
+    tokens = jnp.asarray(np.random.default_rng(6).integers(
+        0, cfg.text_vocab_size, (B, T)), jnp.int32)
+    spk = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (B, cfg.hidden_size)) * 0.1, jnp.float32)
+    cache = init_kv_cache(cfg.n_layers, B, 16, cfg.n_key_value_heads,
+                          cfg.head_dim)
+    h, logits, _ = talker.forward_text(w, cfg, tokens, spk, cache)
+    # equivalent manual composition
+    x = talker.project_text_tokens(w, tokens) + spk[:, None, :]
+    cache2 = init_kv_cache(cfg.n_layers, B, 16, cfg.n_key_value_heads,
+                           cfg.head_dim)
+    h2, logits2, _ = talker.talker_prefill(w, cfg, x, cache2)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               atol=1e-5)
+    # without speaker embedding
+    h3, _, _ = talker.forward_text(w, cfg, tokens, None, cache)
+    assert not np.allclose(np.asarray(h3), np.asarray(h))
