@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Continuous-batching serving benchmark at full 0.6B scale.
+
+Drives ContinuousBatcher with a churning request load (random token ids,
+random weights) and reports sustained audio-seconds-per-wall-second and
+per-request latency. Complements bench.py (per-frame compute) with the
+serving-level view: slot turnover, admission prefills, and chunked
+vocoder decode included.
+
+Usage: python tools/bench_serve.py [--slots 16] [--requests 48]
+                                   [--frames 120]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class RandomTokenizer:
+    """Stand-in tokenizer: deterministic pseudo-random ids per text."""
+
+    def __init__(self, vocab_size: int, n_tokens: int = 48):
+        self.vocab_size = vocab_size
+        self.n_tokens = n_tokens
+
+    def encode_for_tts(self, text: str):
+        import numpy as np
+        seed = abs(hash(text)) % (2 ** 31)
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, min(self.vocab_size, 1000),
+                            self.n_tokens).tolist()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--frames", type=int, default=120,
+                    help="per-request frame cap (~9.6 s audio at 12.5 Hz)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
+    from qwen3_tts_tpu.models import vocoder
+    from qwen3_tts_tpu.models.weights import init_talker_weights_device
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from qwen3_tts_tpu.runtime.serve import ContinuousBatcher
+
+    cfg = TalkerConfig()
+    log = lambda m: print(m, file=sys.stderr, flush=True)
+
+    t0 = time.monotonic()
+    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
+    jax.device_get(jax.tree.leaves(w)[-1])
+    log(f"weights init {time.monotonic()-t0:.1f}s")
+
+    vcfg = VocoderConfig()
+    vw = vocoder.cast_weights(jax.device_put(
+        vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)))
+
+    engine = Qwen3TTS.from_components(
+        RandomTokenizer(cfg.text_vocab_size), cfg, w, vcfg, vw)
+
+    params = TTSParams(temperature=0.9, top_k=50, print_timing=False, seed=0)
+    cb = ContinuousBatcher(engine, n_slots=args.slots, params=params,
+                           max_frames=args.frames)
+
+    # warm up compiles with one request
+    rid = cb.submit("warmup")
+    t0 = time.monotonic()
+    cb.run_all()
+    log(f"warmup request (compiles): {time.monotonic()-t0:.1f}s")
+
+    for i in range(args.requests):
+        cb.submit(f"request number {i}")
+
+    t0 = time.monotonic()
+    lat = []
+    total_audio = 0.0
+    n_done = 0
+    while cb.pending():
+        for r in cb.step().values():
+            lat.append(r.t_total_ms)
+            total_audio += len(r.audio) / r.sample_rate
+            n_done += 1
+    wall = time.monotonic() - t0
+    lat = np.asarray(lat)
+    log(f"served {n_done} requests in {wall:.1f}s wall")
+    log(f"audio generated: {total_audio:.1f}s "
+        f"-> {total_audio / wall:.1f}x realtime aggregate")
+    log(f"request latency ms: p50={np.percentile(lat,50):.0f} "
+        f"p90={np.percentile(lat,90):.0f} max={lat.max():.0f}")
+    import json
+    print(json.dumps({
+        "metric": f"aggregate_realtime_x_slots{args.slots}",
+        "value": round(total_audio / wall, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(total_audio / wall / 1.01, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
