@@ -41,7 +41,7 @@ def _mtp(cp, x: jax.Array) -> jax.Array:
 
 def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
                   temperature: jax.Array, top_k: int,
-                  key: jax.Array) -> jax.Array:
+                  key: jax.Array, greedy: bool = False) -> jax.Array:
     """Generate codebooks 1..15 for one frame, batched.
 
     hidden: [B, hidden] f32 (talker last hidden, post output-norm);
@@ -76,7 +76,7 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
     logits = jnp.dot(h.astype(head0.dtype), head0,
                      preferred_element_type=jnp.float32)
     key, sub = jax.random.split(key)
-    code = sample_codes(logits, temperature, top_k, sub)
+    code = sample_codes(logits, temperature, top_k, sub, greedy=greedy)
 
     # 14 AR steps fused in one scan (vs. 14 graph rebuilds in the GGML
     # fallback, tts_transformer.cpp:2291-2337)
@@ -102,7 +102,7 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
         logits = jnp.dot(h.astype(head.dtype), head,
                          preferred_element_type=jnp.float32)
         key, sub = jax.random.split(key)
-        code = sample_codes(logits, temperature, top_k, sub)
+        code = sample_codes(logits, temperature, top_k, sub, greedy=greedy)
         return (kv_cache, code, key), code
 
     (_, _, _), rest = jax.lax.scan(

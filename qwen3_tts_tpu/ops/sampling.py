@@ -31,28 +31,33 @@ def apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
-@partial(jax.jit, static_argnames=("top_k",))
+@partial(jax.jit, static_argnames=("top_k", "greedy"))
 def sample_codes(logits: jax.Array, temperature: jax.Array, top_k: int,
-                 key: jax.Array) -> jax.Array:
+                 key: jax.Array, greedy: bool = False) -> jax.Array:
     """Temperature + top-k sampling for code-predictor logits.
 
     Mirrors sample_or_argmax (tts_transformer.cpp:2198-2236); greedy when
     temperature <= 0 (argmax picks the first maximum, like the reference's
-    linear scan at :2051-2061).
+    linear scan at :2051-2061). Pass greedy=True (static) to compile out
+    the top-k/categorical work entirely.
     logits: [B, V] f32 -> [B] int32.
     """
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = apply_top_k(logits / jnp.maximum(temperature, 1e-6), top_k)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+    return jnp.where(temperature <= 0.0, g, sampled)
 
 
-@partial(jax.jit, static_argnames=("top_k", "eos_id", "suppress_start"))
+@partial(jax.jit, static_argnames=("top_k", "eos_id", "suppress_start",
+                                   "greedy"))
 def sample_cb0(logits: jax.Array, seen_mask: jax.Array,
                frame_idx: jax.Array, expected_frames: jax.Array,
                repetition_penalty: jax.Array, temperature: jax.Array,
                top_k: int, key: jax.Array, *,
-               eos_id: int, suppress_start: int) -> jax.Array:
+               eos_id: int, suppress_start: int,
+               greedy: bool = False) -> jax.Array:
     """First-codebook sampling with the exact reference pipeline order
     (tts_transformer.cpp:2416-2495):
 
@@ -88,11 +93,13 @@ def sample_cb0(logits: jax.Array, seen_mask: jax.Array,
     logits = logits.at[:, eos_id].set(boosted)
 
     # 4. sample (:2447-2495)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy:
+        return g
     scaled = logits / jnp.maximum(temperature, 1e-6)
     eos_saved = scaled[:, eos_id]
     filtered = apply_top_k(scaled, top_k)
     # EOS always survives top-k (:2474-2475)
     filtered = filtered.at[:, eos_id].set(eos_saved)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+    return jnp.where(temperature <= 0.0, g, sampled)

@@ -98,10 +98,11 @@ def make_consts(prefill: talker.PrefillInputs, temperature: float,
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "top_k", "chunk_frames"),
+         static_argnames=("cfg", "top_k", "chunk_frames", "greedy"),
          donate_argnames=("state",))
 def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
-                   top_k: int, chunk_frames: int = 40):
+                   top_k: int, chunk_frames: int = 40,
+                   greedy: bool = False):
     """Generate up to `chunk_frames` frames for every stream in the batch.
 
     Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
@@ -118,7 +119,7 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
             consts.expected_frames, consts.repetition_penalty,
             consts.temperature, top_k, k_cb0,
             eos_id=cfg.codec_eos_id,
-            suppress_start=cfg.codec_vocab_size - 1024)
+            suppress_start=cfg.codec_vocab_size - 1024, greedy=greedy)
 
         is_eos = cb0 == cfg.codec_eos_id
         valid = ~state.done & ~is_eos
@@ -131,7 +132,7 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
 
         rest = code_predictor.predict_codes(
             w, cfg, state.last_hidden, cb0_safe,
-            consts.temperature, top_k, k_codes)
+            consts.temperature, top_k, k_codes, greedy=greedy)
         frame_codes = jnp.concatenate([cb0_safe[:, None], rest], axis=1)
 
         # next-step embedding: codec+code-pred embeds + trailing text row

@@ -313,7 +313,8 @@ class Qwen3TTS:
         pending_decode = []
         for _ in range(n_chunks):
             state, codes, valid = generate_chunk(
-                self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES)
+                self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
+                greedy=p.temperature <= 0.0)
             codes_h = np.asarray(codes)          # [chunk, B, 16]
             valid_h = np.asarray(valid)          # [chunk, B]
             for b in range(B):

@@ -136,7 +136,8 @@ class ContinuousBatcher:
         into freed slots; return results for requests that finished."""
         self.state, codes, valid = generate_chunk(
             self.engine.talker_w, self.cfg, self.state, self.consts,
-            self.params.top_k, CHUNK_FRAMES)
+            self.params.top_k, CHUNK_FRAMES,
+            greedy=self.params.temperature <= 0.0)
         codes_h = np.asarray(codes)      # [chunk, B, 16]
         valid_h = np.asarray(valid)      # [chunk, B]
         done_h = np.asarray(self.state.done)
