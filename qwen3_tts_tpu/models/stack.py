@@ -28,6 +28,10 @@ from ..ops.layers import (
 
 CACHE_DTYPE = jnp.bfloat16
 
+# Unroll factor for the over-layers scan: lets XLA software-pipeline
+# weight prefetch across layers in the latency-bound decode step.
+LAYER_UNROLL = 4
+
 
 def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
                   head_dim: int) -> jax.Array:
@@ -84,7 +88,7 @@ def stack_prefill(layers_w, x: jax.Array, positions: jax.Array, *,
         return x, (k.astype(CACHE_DTYPE), v.astype(CACHE_DTYPE))
 
     x = x.astype(jnp.float32)
-    y, (ks, vs) = jax.lax.scan(layer, x, layers_w)
+    y, (ks, vs) = jax.lax.scan(layer, x, layers_w, unroll=LAYER_UNROLL)
     return y, ks, vs
 
 
@@ -100,7 +104,7 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                kv_cache: jax.Array, write_idx: jax.Array,
                n_valid: jax.Array, *,
                n_heads: int, n_kv: int, head_dim: int,
-               eps: float, theta: float):
+               eps: float, theta: float, read_ctx: int | None = None):
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
@@ -108,6 +112,11 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     cache slot(s) — per-stream indices enable continuous batching where
     each stream sits at a different depth; n_valid: [B] valid cache length
     AFTER this token is appended.
+
+    read_ctx (static): attention reads only the first read_ctx cache rows
+    — the caller guarantees max(n_valid) <= read_ctx. This makes attention
+    bandwidth track the live prefix instead of the padded max context
+    (chunk-level bucketing; one compile per bucket).
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
@@ -130,8 +139,10 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                        positions[:, None])
         new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
         cache_l = write(cache_l, new_kv)
+        k_read = cache_l[0] if read_ctx is None else cache_l[0, :, :read_ctx]
+        v_read = cache_l[1] if read_ctx is None else cache_l[1, :, :read_ctx]
         attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
-                                cache_l[0], cache_l[1], n_valid)
+                                k_read, v_read, n_valid)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn
@@ -139,5 +150,6 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         return x, cache_l
 
     x = x.astype(jnp.float32)
-    y, new_cache = jax.lax.scan(layer, x, (layers_w, kv_cache))
+    y, new_cache = jax.lax.scan(layer, x, (layers_w, kv_cache),
+                                unroll=LAYER_UNROLL)
     return y, new_cache

@@ -98,16 +98,21 @@ def make_consts(prefill: talker.PrefillInputs, temperature: float,
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "top_k", "chunk_frames", "greedy"),
+         static_argnames=("cfg", "top_k", "chunk_frames", "greedy",
+                          "read_ctx"),
          donate_argnames=("state",))
 def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                    top_k: int, chunk_frames: int = 40,
-                   greedy: bool = False):
+                   greedy: bool = False, read_ctx: int | None = None):
     """Generate up to `chunk_frames` frames for every stream in the batch.
 
     Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
     A frame is valid iff the stream was live and did not sample EOS at that
     step (EOS frames are not emitted — tts_transformer.cpp:2497-2499).
+
+    read_ctx (static): cap on attention's cache read window for this
+    chunk; the caller guarantees max(n_past) + chunk_frames <= read_ctx.
+    One compiled executable per distinct bucket.
     """
     n_cb = cfg.n_codebooks
 
@@ -149,7 +154,8 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
             w, cfg, frame_codes, trail_row)
 
         hidden, logits, cache = talker.talker_step(
-            w, cfg, step_embd, state.kv_cache, state.n_past)
+            w, cfg, step_embd, state.kv_cache, state.n_past,
+            read_ctx=read_ctx)
 
         # Done streams freeze: their position stops advancing so a parked
         # slot never walks off the end of the cache while waiting for a
@@ -243,3 +249,12 @@ def required_ctx(prefill_len: int, max_frames: int, chunk: int = 40,
     n_chunks = -(-max_frames // chunk)
     need = prefill_len + n_chunks * chunk + 8
     return -(-need // align) * align
+
+
+def ctx_bucket(max_n_past: int, chunk: int, total_ctx: int,
+               bucket: int = 512) -> int:
+    """Static attention read-window for the next chunk: covers every
+    stream's position plus the chunk, rounded up to `bucket` (one compile
+    per bucket), capped at the allocated context."""
+    need = max_n_past + chunk + 1
+    return min(-(-need // bucket) * bucket, total_ctx)

@@ -27,8 +27,8 @@ from ..models import speaker_encoder as spk
 from ..models import talker, vocoder, weights as W
 from ..tokenizer import TextTokenizer
 from . import audio_io
-from .generate import (GenState, generate_chunk, init_state, make_consts,
-                       required_ctx)
+from .generate import (GenState, ctx_bucket, generate_chunk, init_state,
+                       make_consts, required_ctx)
 
 CHUNK_FRAMES = 40  # streaming vocoder interval (qwen3_tts.cpp:463)
 
@@ -312,9 +312,11 @@ class Qwen3TTS:
         n_chunks = -(-p.max_audio_tokens // CHUNK_FRAMES)
         pending_decode = []
         for _ in range(n_chunks):
+            read_ctx = ctx_bucket(int(np.asarray(state.n_past).max()),
+                                  CHUNK_FRAMES, max_ctx)
             state, codes, valid = generate_chunk(
                 self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
-                greedy=p.temperature <= 0.0)
+                greedy=p.temperature <= 0.0, read_ctx=read_ctx)
             codes_h = np.asarray(codes)          # [chunk, B, 16]
             valid_h = np.asarray(valid)          # [chunk, B]
             for b in range(B):

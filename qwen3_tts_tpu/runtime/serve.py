@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import talker, vocoder
-from .generate import (GenConsts, GenState, admit_slot, generate_chunk,
-                       init_state, make_consts, park_slot, required_ctx)
+from .generate import (GenConsts, GenState, admit_slot, ctx_bucket,
+                       generate_chunk, init_state, make_consts, park_slot,
+                       required_ctx)
 from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
 
 
@@ -134,10 +135,12 @@ class ContinuousBatcher:
     def step(self) -> dict[int, TTSResult]:
         """Run one 40-frame chunk across all slots; admit queued requests
         into freed slots; return results for requests that finished."""
+        read_ctx = ctx_bucket(int(np.asarray(self.state.n_past).max()),
+                              CHUNK_FRAMES, self.ctx)
         self.state, codes, valid = generate_chunk(
             self.engine.talker_w, self.cfg, self.state, self.consts,
             self.params.top_k, CHUNK_FRAMES,
-            greedy=self.params.temperature <= 0.0)
+            greedy=self.params.temperature <= 0.0, read_ctx=read_ctx)
         codes_h = np.asarray(codes)      # [chunk, B, 16]
         valid_h = np.asarray(valid)      # [chunk, B]
         done_h = np.asarray(self.state.done)
