@@ -55,7 +55,7 @@ def main() -> None:
     from qwen3_tts_tpu.models import talker, vocoder
     from qwen3_tts_tpu.models.weights import init_talker_weights_device
     from qwen3_tts_tpu.runtime.generate import (
-        generate_chunk, init_state, make_consts, required_ctx)
+        ctx_bucket, generate_chunk, init_state, make_consts, required_ctx)
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -85,15 +85,22 @@ def main() -> None:
         f"(includes compile)")
     consts = make_consts(prefill, args.temperature, 1.05)
 
+    def run_chunk(state):
+        # production path: lock-step scalar KV write + bucketed read window
+        read_ctx = ctx_bucket(int(np.asarray(state.n_past).max()),
+                              CHUNK, ctx)
+        return generate_chunk(w, cfg, state, consts, 50, CHUNK,
+                              read_ctx=read_ctx, lockstep=True)
+
     # warmup (compile)
     t0 = time.monotonic()
-    state, codes, valid = generate_chunk(w, cfg, state, consts, 50, CHUNK)
+    state, codes, valid = run_chunk(state)
     sync(codes)
     log(f"generate_chunk compile+first run: {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()
     for _ in range(args.chunks):
-        state, codes, valid = generate_chunk(w, cfg, state, consts, 50, CHUNK)
+        state, codes, valid = run_chunk(state)
     sync(codes)
     gen_s = time.monotonic() - t0
     frames = args.chunks * CHUNK

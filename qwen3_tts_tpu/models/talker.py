@@ -172,12 +172,17 @@ def talker_prefill(w, cfg: TalkerConfig, prefill_embd: jax.Array,
 
 def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
                 kv_cache: jax.Array, n_past: jax.Array,
-                read_ctx: int | None = None):
+                read_ctx: int | None = None,
+                write_idx: jax.Array | None = None):
     """Single-frame decode step (build_step_graph, tts_transformer.cpp:1376-1512).
 
     step_embd: [B, hidden]; n_past: scalar int32 OR [B] int32 — tokens
     already in each stream's cache (per-stream for continuous batching).
     read_ctx (static): attention reads only the first read_ctx cache rows.
+    write_idx: optional scalar cache slot overriding per-stream writes —
+    in lock-step batches every live stream sits at the same position, so
+    one dynamic-update-slice replaces the per-stream scatter (done streams
+    get a garbage row beyond their frozen n_valid; never attended).
     Returns (hidden [B,H] f32, logits [B,codec_vocab] f32, new_kv_cache).
     """
     B = step_embd.shape[0]
@@ -187,7 +192,8 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
         positions = jnp.full((B,), n_past, jnp.int32)
     n_valid = positions + 1
     y, kv_cache = stack_step(
-        w["layers"], step_embd, positions, kv_cache, n_past, n_valid,
+        w["layers"], step_embd, positions, kv_cache,
+        write_idx if write_idx is not None else n_past, n_valid,
         n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
         head_dim=cfg.head_dim, eps=cfg.rms_norm_eps, theta=cfg.rope_theta,
         read_ctx=read_ctx)

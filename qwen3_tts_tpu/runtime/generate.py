@@ -99,11 +99,12 @@ def make_consts(prefill: talker.PrefillInputs, temperature: float,
 
 @partial(jax.jit,
          static_argnames=("cfg", "top_k", "chunk_frames", "greedy",
-                          "read_ctx"),
+                          "read_ctx", "lockstep"),
          donate_argnames=("state",))
 def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                    top_k: int, chunk_frames: int = 40,
-                   greedy: bool = False, read_ctx: int | None = None):
+                   greedy: bool = False, read_ctx: int | None = None,
+                   lockstep: bool = False):
     """Generate up to `chunk_frames` frames for every stream in the batch.
 
     Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
@@ -153,9 +154,12 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         step_embd = code_predictor.frame_step_embedding(
             w, cfg, frame_codes, trail_row)
 
+        # lock-step batches share one write slot (all live streams sit at
+        # the same depth) -> scalar dynamic-update-slice, no scatter
+        write_idx = jnp.max(state.n_past) if lockstep else None
         hidden, logits, cache = talker.talker_step(
             w, cfg, step_embd, state.kv_cache, state.n_past,
-            read_ctx=read_ctx)
+            read_ctx=read_ctx, write_idx=write_idx)
 
         # Done streams freeze: their position stops advancing so a parked
         # slot never walks off the end of the cache while waiting for a

@@ -316,7 +316,8 @@ class Qwen3TTS:
                                   CHUNK_FRAMES, max_ctx)
             state, codes, valid = generate_chunk(
                 self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
-                greedy=p.temperature <= 0.0, read_ctx=read_ctx)
+                greedy=p.temperature <= 0.0, read_ctx=read_ctx,
+                lockstep=True)
             codes_h = np.asarray(codes)          # [chunk, B, 16]
             valid_h = np.asarray(valid)          # [chunk, B]
             for b in range(B):
