@@ -168,3 +168,39 @@ def test_eos_survives_top_k():
                      jnp.float32(1.0), jnp.float32(0.1), 50,
                      jax.random.PRNGKey(1), eos_id=eos, suppress_start=2048)
     assert int(tok[0]) == eos
+
+
+def test_read_ctx_bucketing_equivalence(setup):
+    """Bucketed attention read window must not change outputs."""
+    from qwen3_tts_tpu.runtime.generate import ctx_bucket
+    cfg, w, prefill = setup
+    ctx = required_ctx(prefill.prefill_embd.shape[1], 64, 8, align=128)
+    state_a = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    state_b = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    consts = make_consts(prefill, 0.0, 1.05)
+    a = generate_chunk(w, cfg, state_a, consts, 50, 8)[1]
+    rb = ctx_bucket(int(np.asarray(state_b.n_past).max()), 8, ctx, bucket=32)
+    assert rb < ctx  # the bucket actually narrows the window
+    b = generate_chunk(w, cfg, state_b, consts, 50, 8, read_ctx=rb)[1]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lockstep_write_equivalence(setup):
+    """Scalar lock-step KV write must match per-stream writes while all
+    streams are live (greedy)."""
+    cfg, w, prefill = setup
+    ctx = required_ctx(prefill.prefill_embd.shape[1], 8, 8)
+    state_a = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    state_b = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(0))
+    consts = make_consts(prefill, 0.0, 1.05)
+    a = generate_chunk(w, cfg, state_a, consts, 50, 8)[1]
+    b = generate_chunk(w, cfg, state_b, consts, 50, 8, lockstep=True)[1]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ctx_bucket_math():
+    from qwen3_tts_tpu.runtime.generate import ctx_bucket
+    assert ctx_bucket(10, 40, 4224) == 512
+    assert ctx_bucket(500, 40, 4224) == 1024
+    assert ctx_bucket(4200, 40, 4224) == 4224  # capped at allocated ctx
+    assert ctx_bucket(0, 40, 256) == 256
