@@ -119,7 +119,7 @@ def main() -> None:
     sync(audio)
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
-    n_voc = 3
+    n_voc = 8
     for _ in range(n_voc):
         audio = vocoder.vocoder_decode(vw, vcfg, vcodes)
     sync(audio)
