@@ -287,6 +287,13 @@ class Qwen3TTS:
             tokens[i, :len(toks)] = toks
             lens[i] = len(toks)
 
+        if p.print_progress:
+            for toks in token_lists:
+                head = " ".join(str(t) for t in toks[:10])
+                more = "..." if len(toks) > 10 else ""
+                _log(f"Text tokenized: {len(toks)} tokens\n"
+                     f"  Tokens: {head} {more}")
+
         if embeddings is None:
             spk_emb = np.zeros((B, cfg.hidden_size), np.float32)
         else:
