@@ -31,7 +31,7 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--max-frames", type=int, default=400)
     ap.add_argument("--temperature", type=float, default=0.9)
