@@ -146,6 +146,7 @@ class ContinuousBatcher:
         done_h = np.asarray(self.state.done)
 
         finished: dict[int, TTSResult] = {}
+        retiring: dict[int, bool] = {}
         for b, slot in enumerate(self.slots):
             if not slot.busy:
                 continue
@@ -157,46 +158,62 @@ class ContinuousBatcher:
                 slot.frames.append(got)
             n_have += len(got)
             is_done = bool(done_h[b]) or n_have >= slot.max_frames
+            if is_done and not bool(done_h[b]):
+                # retired by the frame cap, not EOS: stop the device
+                # stream so its cache position freezes
+                self.state = park_slot(self.state, jnp.int32(b))
+            retiring[b] = is_done
 
-            # stream audio for every completed 40-frame chunk
-            self._decode_ready(slot, final=False)
+        self._decode_ready_batch(retiring)
+        for b, is_done in retiring.items():
             if is_done:
-                if not bool(done_h[b]):
-                    # retired by the frame cap, not EOS: stop the device
-                    # stream so its cache position freezes
-                    self.state = park_slot(self.state, jnp.int32(b))
-                self._decode_ready(slot, final=True)
+                slot = self.slots[b]
                 finished[slot.request_id] = self._finalize(slot)
                 self.slots[b] = _Slot()
         self._admit_pending()
         return finished
 
-    def _decode_ready(self, slot: _Slot, final: bool) -> None:
+    def _decode_ready_batch(self, retiring: dict[int, bool]) -> None:
+        """Vocoder-decode every slot's ready chunks, batched across slots
+        (one [n, 40] call per wave instead of n B=1 calls), plus the
+        ragged final tail of retiring slots."""
         if self.engine.voc_w is None:
             return
-        total = sum(len(f) for f in slot.frames)
-        done = len(slot.audio) * CHUNK_FRAMES
-        full = (np.concatenate(slot.frames)
-                if slot.frames else np.zeros((0, self.cfg.n_codebooks),
-                                             np.int32))
-        while total - done >= CHUNK_FRAMES:
-            chunk = full[done:done + CHUNK_FRAMES]
-            audio = self.engine.decode_codes(chunk)
-            slot.audio.append(audio)
-            if slot.on_audio:
-                slot.on_audio(audio, False)
-            done += CHUNK_FRAMES
-        if final and total - done > 0:
-            part = full[done:]
-            k = len(part)
-            padded = np.zeros((CHUNK_FRAMES, self.cfg.n_codebooks), np.int32)
-            padded[:k] = part
-            audio = self.engine.decode_codes(padded)
-            valid = vocoder.vocoder_output_length(
-                self.engine.voc_w, self.engine.voc_cfg, k)
-            slot.audio.append(audio[:valid])
-            if slot.on_audio:
-                slot.on_audio(audio[:valid], True)
+        n_cb = self.cfg.n_codebooks
+        while True:
+            work: list[tuple[int, np.ndarray, int, bool]] = []
+            for b, slot in enumerate(self.slots):
+                if not slot.busy:
+                    continue
+                total = sum(len(f) for f in slot.frames)
+                done = len(slot.audio) * CHUNK_FRAMES
+                remaining = total - done
+                if remaining >= CHUNK_FRAMES:
+                    full = np.concatenate(slot.frames)
+                    work.append((b, full[done:done + CHUNK_FRAMES],
+                                 CHUNK_FRAMES, False))
+                elif remaining > 0 and retiring.get(b, False):
+                    full = np.concatenate(slot.frames)
+                    part = np.zeros((CHUNK_FRAMES, n_cb), np.int32)
+                    part[:remaining] = full[done:]
+                    work.append((b, part, remaining, True))
+            if not work:
+                return
+            batch = np.zeros((len(self.slots), CHUNK_FRAMES, n_cb), np.int32)
+            for i, (_, chunk, _, _) in enumerate(work):
+                batch[i] = chunk
+            audio = np.asarray(vocoder.vocoder_decode(
+                self.engine.voc_w, self.engine.voc_cfg,
+                jnp.asarray(batch, jnp.int32)))
+            for i, (b, _, k, is_tail) in enumerate(work):
+                slot = self.slots[b]
+                out = audio[i]
+                if k < CHUNK_FRAMES:
+                    out = out[:vocoder.vocoder_output_length(
+                        self.engine.voc_w, self.engine.voc_cfg, k)]
+                slot.audio.append(out)
+                if slot.on_audio:
+                    slot.on_audio(out, is_tail)
 
     def _finalize(self, slot: _Slot) -> TTSResult:
         r = TTSResult()
