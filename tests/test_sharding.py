@@ -76,3 +76,36 @@ def test_mesh_shapes():
     assert mesh.shape == {"dp": 4, "tp": 2}
     with pytest.raises(ValueError):
         make_mesh(16, 1)
+
+
+def test_pipeline_sharded_matches_single():
+    """Full pipeline (synthesize_batch) over a dp=8 mesh equals the
+    unsharded engine output (greedy)."""
+    import dataclasses
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from .test_tokenizer import make_tiny_tokenizer
+
+    rng = np.random.default_rng(110)
+    cfg = tiny_talker_config()
+    w = init_talker_weights(rng, cfg)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    p = TTSParams(max_audio_tokens=8, temperature=0.0,
+                  print_timing=False, seed=0)
+    texts = ["hello world."] * 8
+
+    base_engine = Qwen3TTS.from_components(
+        make_tiny_tokenizer(), cfg, w, voc_cfg, voc_w)
+    base = base_engine.synthesize_batch(texts, None, p)
+
+    sharded = Qwen3TTS.from_components(
+        make_tiny_tokenizer(), cfg, w, voc_cfg, voc_w)
+    sharded.shard(make_mesh(8, 1))
+    got = sharded.synthesize_batch(texts, None, p)
+
+    for a, b in zip(base, got):
+        assert a.success and b.success
+        assert a.n_frames == b.n_frames
+        np.testing.assert_allclose(a.audio, b.audio, atol=1e-3)
