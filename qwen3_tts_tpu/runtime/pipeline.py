@@ -418,11 +418,21 @@ class Qwen3TTS:
             out.append(audio[:valid])
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
+    # Vocoder activations at the 76k-sample tail stages are large; cap the
+    # decode batch and split bigger waves (B=96 OOMs on v5e otherwise).
+    VOC_MAX_BATCH = 48
+
     def _decode_chunk_batch(self, codes: np.ndarray) -> np.ndarray:
         """[n, CHUNK, 16] -> [n, samples]; padded to the serving batch size
-        so one compiled vocoder graph serves every wave."""
-        return np.asarray(vocoder.vocoder_decode(
-            self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32)))
+        so one compiled vocoder graph serves every wave; split into
+        sub-batches of VOC_MAX_BATCH to bound activation memory."""
+        n = len(codes)
+        if n <= self.VOC_MAX_BATCH:
+            return np.asarray(vocoder.vocoder_decode(
+                self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32)))
+        parts = [self._decode_chunk_batch(codes[i:i + self.VOC_MAX_BATCH])
+                 for i in range(0, n, self.VOC_MAX_BATCH)]
+        return np.concatenate(parts, axis=0)
 
     def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
         """Decode every stream that has accumulated a full 40-frame chunk,

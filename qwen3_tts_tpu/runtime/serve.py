@@ -202,9 +202,7 @@ class ContinuousBatcher:
             batch = np.zeros((len(self.slots), CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, chunk, _, _) in enumerate(work):
                 batch[i] = chunk
-            audio = np.asarray(vocoder.vocoder_decode(
-                self.engine.voc_w, self.engine.voc_cfg,
-                jnp.asarray(batch, jnp.int32)))
+            audio = self.engine._decode_chunk_batch(batch)
             for i, (b, _, k, is_tail) in enumerate(work):
                 slot = self.slots[b]
                 out = audio[i]
