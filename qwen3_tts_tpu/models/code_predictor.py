@@ -53,9 +53,9 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
     ctx = n_steps + 1                      # 16 (init_code_pred_kv_cache(16))
     B = hidden.shape[0]
 
-    codec_embd = w["codec_embd"].astype(jnp.float32)
     x0 = hidden.astype(jnp.float32)
-    x1 = jnp.take(codec_embd, cb0, axis=0)
+    # gather rows first, cast after (never convert the whole table)
+    x1 = jnp.take(w["codec_embd"], cb0, axis=0).astype(jnp.float32)
     xs = _mtp(cp, jnp.stack([x0, x1], axis=1))          # [B, 2, Hc]
 
     # 2-token prefill at positions {0,1} (tts_transformer.cpp:2243-2288)
@@ -86,7 +86,7 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
         # generation steps 1..14: table index s, head index s+1.
         table = jax.lax.dynamic_index_in_dim(cp["embd"], s, axis=0,
                                              keepdims=False)
-        x = jnp.take(table.astype(jnp.float32), prev_code, axis=0)
+        x = jnp.take(table, prev_code, axis=0).astype(jnp.float32)
         x = _mtp(cp, x)
         n_past = s + 2
         pos = jnp.full((B,), n_past, jnp.int32)
@@ -122,12 +122,11 @@ def frame_step_embedding(w, cfg: TalkerConfig, frame_codes: jax.Array,
     frame_codes: [B, 16] int32; trailing_row: [B, hidden] f32.
     """
     cp = w["code_pred"]
-    cb0_embd = jnp.take(w["codec_embd"].astype(jnp.float32),
-                        frame_codes[:, 0], axis=0)
+    cb0_embd = jnp.take(w["codec_embd"], frame_codes[:, 0],
+                        axis=0).astype(jnp.float32)
     # Gather each codebook's embedding: tables [15, V, H], codes [B, 15]
     rest = jnp.einsum(
         "sbh->bh",
-        jax.vmap(lambda table, codes: jnp.take(table.astype(jnp.float32),
-                                               codes, axis=0))(
-            cp["embd"], frame_codes[:, 1:].T))
+        jax.vmap(lambda table, codes: jnp.take(table, codes, axis=0))(
+            cp["embd"], frame_codes[:, 1:].T).astype(jnp.float32))
     return cb0_embd + rest + trailing_row

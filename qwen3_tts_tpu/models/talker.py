@@ -77,7 +77,7 @@ def build_prefill_inputs(w, cfg: TalkerConfig, tokens: jax.Array,
     sp = project_text_tokens(w, specials)                # [3, H]
     tts_bos, tts_eos, tts_pad = sp[0], sp[1], sp[2]
 
-    codec_embd = w["codec_embd"].astype(jnp.float32)
+    codec_embd = w["codec_embd"]
     if use_think:
         if language_id is None:
             language_id = jnp.full((B,), cfg.english_language_id, jnp.int32)
@@ -92,10 +92,11 @@ def build_prefill_inputs(w, cfg: TalkerConfig, tokens: jax.Array,
             jnp.array([cfg.codec_nothink_id, cfg.codec_think_bos_id,
                        cfg.codec_think_eos_id], jnp.int32), (B, 3))
 
-    prefix_rows = jnp.take(codec_embd, prefix_ids, axis=0)        # [B, P0, H]
+    prefix_rows = jnp.take(codec_embd, prefix_ids,
+                           axis=0).astype(jnp.float32)            # [B, P0, H]
     tail_rows = jnp.take(codec_embd,
                          jnp.array([cfg.codec_pad_id, cfg.codec_bos_id],
-                                   jnp.int32), axis=0)            # [2, H]
+                                   jnp.int32), axis=0).astype(jnp.float32)
     tail_rows = jnp.broadcast_to(tail_rows[None], (B, 2, tail_rows.shape[-1]))
 
     codec_input = jnp.concatenate(
