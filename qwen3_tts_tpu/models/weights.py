@@ -17,7 +17,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TalkerConfig, VocoderConfig, SpeakerEncoderConfig
+from ..config import TalkerConfig
 
 MATMUL_DTYPE = jnp.bfloat16
 NORM_DTYPE = jnp.float32

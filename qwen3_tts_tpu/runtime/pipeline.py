@@ -27,8 +27,8 @@ from ..models import speaker_encoder as spk
 from ..models import talker, vocoder, weights as W
 from ..tokenizer import TextTokenizer
 from . import audio_io
-from .generate import (GenState, ctx_bucket, generate_chunk, init_state,
-                       make_consts, required_ctx)
+from .generate import (ctx_bucket, generate_chunk, init_state, make_consts,
+                       required_ctx)
 
 CHUNK_FRAMES = 40  # streaming vocoder interval (qwen3_tts.cpp:463)
 

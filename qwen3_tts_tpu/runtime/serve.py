@@ -12,16 +12,15 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models import talker, vocoder
-from .generate import (GenConsts, GenState, admit_slot, ctx_bucket,
-                       generate_chunk, init_state, make_consts, park_slot,
-                       required_ctx)
+from .generate import (admit_slot, ctx_bucket, generate_chunk, init_state,
+                       make_consts, park_slot, required_ctx)
 from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
 
 

@@ -40,7 +40,6 @@ def main():
 
     from qwen3_tts_tpu.config import TalkerConfig
     from qwen3_tts_tpu.models import code_predictor, talker
-    from qwen3_tts_tpu.models.stack import init_kv_cache
     from qwen3_tts_tpu.models.weights import init_talker_weights_device
     from qwen3_tts_tpu.ops.sampling import sample_cb0
     from qwen3_tts_tpu.runtime.generate import (
