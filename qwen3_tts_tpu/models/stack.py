@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..ops.attention import decode_attention
 from ..ops.layers import (
     gqa_attention_prefill,
+    gqa_attention_step_masked,
     rms_norm,
     rope_neox,
 )
@@ -105,7 +106,8 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                kv_cache: jax.Array, write_idx: jax.Array,
                n_valid: jax.Array, *,
                n_heads: int, n_kv: int, head_dim: int,
-               eps: float, theta: float, read_ctx: int | None = None):
+               eps: float, theta: float, read_ctx: int | None = None,
+               valid_mask: jax.Array | None = None):
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
@@ -118,6 +120,10 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     — the caller guarantees max(n_valid) <= read_ctx. This makes attention
     bandwidth track the live prefix instead of the padded max context
     (chunk-level bucketing; one compile per bucket).
+
+    valid_mask: [B, S] bool — when given, attention masks by this bitmask
+    instead of the n_valid prefix length (ring-slot cache mode, where a
+    stream's valid slots are not contiguous).
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
@@ -142,8 +148,13 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         cache_l = write(cache_l, new_kv)
         k_read = cache_l[0] if read_ctx is None else cache_l[0, :, :read_ctx]
         v_read = cache_l[1] if read_ctx is None else cache_l[1, :, :read_ctx]
-        attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
-                                k_read, v_read, n_valid)
+        if valid_mask is not None:
+            m = valid_mask if read_ctx is None else valid_mask[:, :read_ctx]
+            attn = gqa_attention_step_masked(q[:, 0].astype(CACHE_DTYPE),
+                                             k_read, v_read, m)
+        else:
+            attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
+                                    k_read, v_read, n_valid)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn

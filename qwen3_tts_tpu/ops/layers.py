@@ -97,6 +97,19 @@ def gqa_attention_step(q: jax.Array, k: jax.Array, v: jax.Array,
     This is the XLA path (flash-decode Pallas kernel is the optimized
     alternative in ops/flash_decode.py).
     """
+    S = k.shape[1]
+    mask = jnp.arange(S)[None, :] < n_valid[:, None]              # [B,S]
+    return gqa_attention_step_masked(q, k, v, mask)
+
+
+def gqa_attention_step_masked(q: jax.Array, k: jax.Array, v: jax.Array,
+                              mask: jax.Array) -> jax.Array:
+    """Decode attention with an explicit per-slot validity bitmask.
+
+    q: [B, n_heads, D]; k, v: [B, S, n_kv, D]; mask: [B, S] bool —
+    cache slots each stream may attend. Used by the ring-slot cache
+    (continuous batching), where a stream's valid slots are not a prefix.
+    """
     B, n_heads, D = q.shape
     S, n_kv = k.shape[1], k.shape[2]
     G = n_heads // n_kv
@@ -106,7 +119,6 @@ def gqa_attention_step(q: jax.Array, k: jax.Array, v: jax.Array,
     kh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,S,D]
     vh = v.transpose(0, 2, 1, 3)
     scores = _gqa_scores(qh, kh) * scale                          # [B,Hkv,G,1,S]
-    mask = jnp.arange(S)[None, :] < n_valid[:, None]              # [B,S]
     scores = jnp.where(mask[:, None, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(vh.dtype), vh,

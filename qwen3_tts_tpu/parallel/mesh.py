@@ -103,13 +103,15 @@ def shard_gen_state(state, mesh: Mesh):
     rep = _ns(mesh)
     return type(state)(
         kv_cache=jax.device_put(state.kv_cache, cache_s),
-        n_past=jax.device_put(state.n_past, rep),
-        frame_idx=jax.device_put(state.frame_idx, rep),
+        n_past=jax.device_put(state.n_past, b_s),
+        frame_idx=jax.device_put(state.frame_idx, b_s),
         last_hidden=jax.device_put(state.last_hidden, b2_s),
         logits=jax.device_put(state.logits, b2_s),
         seen_mask=jax.device_put(state.seen_mask, b2_s),
         done=jax.device_put(state.done, b_s),
         key=jax.device_put(state.key, rep),
+        valid_mask=jax.device_put(state.valid_mask, b2_s),
+        write_slot=jax.device_put(state.write_slot, rep),
     )
 
 

@@ -32,15 +32,26 @@ from ..models.stack import init_kv_cache
 from ..ops.sampling import sample_cb0
 
 
+# Ring-slot cache: lane rows [0..RING_PREFILL_SLOTS) are the per-stream
+# prefill region (admissions write there); rows beyond are the shared ring
+# written at GenState.write_slot. Must be >= any prefill length (10 for
+# the think/language path).
+RING_PREFILL_SLOTS = 16
+
+
 class GenState(NamedTuple):
     kv_cache: jax.Array       # [L, 2, B, S, kv, D] bf16
-    n_past: jax.Array         # [B] int32 — per-stream cache fill level
+    n_past: jax.Array         # [B] int32 — per-stream LOGICAL position
     frame_idx: jax.Array      # [B] int32 — per-stream frames generated
     last_hidden: jax.Array    # [B, H] f32
     logits: jax.Array         # [B, codec_vocab] f32
     seen_mask: jax.Array      # [B, codec_vocab] bool — emitted CB0 ids
     done: jax.Array           # [B] bool — stream hit EOS (or was inactive)
     key: jax.Array            # PRNG key
+    # ring-slot cache fields (continuous batching; unused in lock-step):
+    valid_mask: jax.Array     # [B, S] bool — which cache slots each stream
+    #                           may attend (slots are NOT position-ordered)
+    write_slot: jax.Array     # scalar int32 — next ring slot to write
 
 
 class GenConsts(NamedTuple):
@@ -80,6 +91,9 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
         seen_mask=jnp.zeros((B, cfg.codec_vocab_size), bool),
         done=done,
         key=key,
+        valid_mask=jnp.broadcast_to(
+            jnp.arange(max_ctx)[None, :] < P, (B, max_ctx)),
+        write_slot=jnp.int32(max(P, RING_PREFILL_SLOTS)),
     )
     return state
 
@@ -99,12 +113,12 @@ def make_consts(prefill: talker.PrefillInputs, temperature: float,
 
 @partial(jax.jit,
          static_argnames=("cfg", "top_k", "chunk_frames", "greedy",
-                          "read_ctx", "lockstep"),
+                          "read_ctx", "lockstep", "ring"),
          donate_argnames=("state",))
 def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                    top_k: int, chunk_frames: int = 40,
                    greedy: bool = False, read_ctx: int | None = None,
-                   lockstep: bool = False):
+                   lockstep: bool = False, ring: bool = False):
     """Generate up to `chunk_frames` frames for every stream in the batch.
 
     Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
@@ -112,8 +126,14 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     step (EOS frames are not emitted — tts_transformer.cpp:2497-2499).
 
     read_ctx (static): cap on attention's cache read window for this
-    chunk; the caller guarantees max(n_past) + chunk_frames <= read_ctx.
+    chunk; the caller guarantees max(n_past) + chunk_frames <= read_ctx —
+    in ring mode write_slot + chunk_frames <= read_ctx instead.
     One compiled executable per distinct bucket.
+
+    ring (static): ring-slot cache mode for continuous batching — every
+    lane writes at the shared scalar write_slot (no per-stream scatter) and
+    attention masks by the per-slot validity bitmask. Cache slots are then
+    NOT position-ordered; RoPE keeps logical per-stream positions.
     """
     n_cb = cfg.n_codebooks
 
@@ -154,12 +174,27 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         step_embd = code_predictor.frame_step_embedding(
             w, cfg, frame_codes, trail_row)
 
-        # lock-step batches share one write slot (all live streams sit at
-        # the same depth) -> scalar dynamic-update-slice, no scatter
-        write_idx = jnp.max(state.n_past) if lockstep else None
-        hidden, logits, cache = talker.talker_step(
-            w, cfg, step_embd, state.kv_cache, state.n_past,
-            read_ctx=read_ctx, write_idx=write_idx)
+        if ring:
+            # ring mode: shared scalar write slot; the just-written row is
+            # valid for live streams only (dead lanes get garbage + a
+            # cleared bit). Attention uses the bitmask.
+            slot = state.write_slot
+            new_mask = state.valid_mask.at[:, slot].set(~done)
+            hidden, logits, cache = talker.talker_step(
+                w, cfg, step_embd, state.kv_cache, state.n_past,
+                read_ctx=read_ctx, write_idx=slot, valid_mask=new_mask)
+            S = state.valid_mask.shape[1]
+            ring_lo = jnp.int32(RING_PREFILL_SLOTS)
+            next_slot = jnp.where(slot + 1 >= S, ring_lo, slot + 1)
+        else:
+            # lock-step batches share one write slot (all live streams sit
+            # at the same depth) -> scalar dynamic-update-slice, no scatter
+            write_idx = jnp.max(state.n_past) if lockstep else None
+            hidden, logits, cache = talker.talker_step(
+                w, cfg, step_embd, state.kv_cache, state.n_past,
+                read_ctx=read_ctx, write_idx=write_idx)
+            new_mask = state.valid_mask
+            next_slot = state.write_slot
 
         # Done streams freeze: their position stops advancing so a parked
         # slot never walks off the end of the cache while waiting for a
@@ -174,6 +209,8 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
             seen_mask=seen,
             done=done,
             key=key,
+            valid_mask=new_mask,
+            write_slot=next_slot,
         )
         return new_state, (frame_codes, valid)
 
@@ -214,6 +251,7 @@ def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         state.kv_cache, kv, (0, 0, slot, 0, 0, 0))
 
     expected = jnp.maximum(20, prefill.n_text_tokens[0] * 4).astype(jnp.int32)
+    S = state.valid_mask.shape[1]
     new_state = GenState(
         kv_cache=cache,
         n_past=state.n_past.at[slot].set(P),
@@ -223,6 +261,8 @@ def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         seen_mask=state.seen_mask.at[slot].set(False),
         done=state.done.at[slot].set(False),
         key=state.key,
+        valid_mask=state.valid_mask.at[slot].set(jnp.arange(S) < P),
+        write_slot=state.write_slot,
     )
     new_consts = GenConsts(
         trailing_hidden=consts.trailing_hidden.at[slot].set(
@@ -252,6 +292,17 @@ def required_ctx(prefill_len: int, max_frames: int, chunk: int = 40,
     slack, aligned for the TPU lane dimension."""
     n_chunks = -(-max_frames // chunk)
     need = prefill_len + n_chunks * chunk + 8
+    return -(-need // align) * align
+
+
+def required_ctx_ring(max_frames: int, chunk: int = 40,
+                      align: int = 128) -> int:
+    """Cache size for ring mode: prefill region + ring capacity.
+
+    A stream may consume up to max_frames + (chunk - 1) ring slots before
+    its frame cap retires it at a chunk boundary, and must never wrap into
+    its own rows."""
+    need = RING_PREFILL_SLOTS + max_frames + chunk + 8
     return -(-need // align) * align
 
 

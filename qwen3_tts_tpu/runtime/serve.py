@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import talker, vocoder
-from .generate import (admit_slot, ctx_bucket, generate_chunk, init_state,
-                       make_consts, park_slot, required_ctx)
+from .generate import (RING_PREFILL_SLOTS, admit_slot, ctx_bucket,
+                       generate_chunk, init_state, make_consts, park_slot,
+                       required_ctx_ring)
 from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
 
 
@@ -70,10 +71,9 @@ class ContinuousBatcher:
             engine.talker_w, cfg, dummy_tokens, lens, spk)
         prefill = prefill._replace(
             trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
-        # slack: parked slots write one garbage row past a finished
-        # stream's frozen position
-        self.ctx = required_ctx(prefill.prefill_embd.shape[1],
-                                max_frames, CHUNK_FRAMES)
+        # ring-slot cache: prefill region + ring sized for max_frames
+        self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
+        self._steps_done = 0
         seed = self.params.seed if self.params.seed is not None else 0
         self.state = init_state(engine.talker_w, cfg, prefill, self.ctx,
                                 jax.random.PRNGKey(seed),
@@ -134,12 +134,16 @@ class ContinuousBatcher:
     def step(self) -> dict[int, TTSResult]:
         """Run one 40-frame chunk across all slots; admit queued requests
         into freed slots; return results for requests that finished."""
-        read_ctx = ctx_bucket(int(np.asarray(self.state.n_past).max()),
-                              CHUNK_FRAMES, self.ctx)
+        # attention read window: prefill region + every ring slot written
+        # so far (bucketed; full ctx once the ring has wrapped)
+        covered = RING_PREFILL_SLOTS + self._steps_done + CHUNK_FRAMES
+        read_ctx = ctx_bucket(min(covered, self.ctx), 0, self.ctx)
         self.state, codes, valid = generate_chunk(
             self.engine.talker_w, self.cfg, self.state, self.consts,
             self.params.top_k, CHUNK_FRAMES,
-            greedy=self.params.temperature <= 0.0, read_ctx=read_ctx)
+            greedy=self.params.temperature <= 0.0, read_ctx=read_ctx,
+            ring=True)
+        self._steps_done += CHUNK_FRAMES
         codes_h = np.asarray(codes)      # [chunk, B, 16]
         valid_h = np.asarray(valid)      # [chunk, B]
         done_h = np.asarray(self.state.done)
