@@ -10,6 +10,7 @@ rebuild (SURVEY.md §2 DP row: ">=16 realtime streams/chip").
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -71,7 +72,10 @@ class ContinuousBatcher:
             engine.talker_w, cfg, dummy_tokens, lens, spk)
         prefill = prefill._replace(
             trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
-        # ring-slot cache: prefill region + ring sized for max_frames
+        # ring-slot cache: prefill region + ring sized for max_frames.
+        # QWEN3_TTS_RING=0 falls back to per-stream scatter writes.
+        ring_env = os.environ.get("QWEN3_TTS_RING", "1")
+        self.use_ring = ring_env != "0"
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
         self._steps_done = 0
         seed = self.params.seed if self.params.seed is not None else 0
@@ -136,13 +140,17 @@ class ContinuousBatcher:
         into freed slots; return results for requests that finished."""
         # attention read window: prefill region + every ring slot written
         # so far (bucketed; full ctx once the ring has wrapped)
-        covered = RING_PREFILL_SLOTS + self._steps_done + CHUNK_FRAMES
-        read_ctx = ctx_bucket(min(covered, self.ctx), 0, self.ctx)
+        if self.use_ring:
+            covered = RING_PREFILL_SLOTS + self._steps_done + CHUNK_FRAMES
+            read_ctx = ctx_bucket(min(covered, self.ctx), 0, self.ctx)
+        else:
+            read_ctx = ctx_bucket(int(np.asarray(self.state.n_past).max()),
+                                  CHUNK_FRAMES, self.ctx)
         self.state, codes, valid = generate_chunk(
             self.engine.talker_w, self.cfg, self.state, self.consts,
             self.params.top_k, CHUNK_FRAMES,
             greedy=self.params.temperature <= 0.0, read_ctx=read_ctx,
-            ring=True)
+            ring=self.use_ring)
         self._steps_done += CHUNK_FRAMES
         codes_h = np.asarray(codes)      # [chunk, B, 16]
         valid_h = np.asarray(valid)      # [chunk, B]
