@@ -82,13 +82,17 @@ def test_late_join_isolation(engine):
 
 def test_slot_reuse_after_frame_cap(engine):
     """A slot retired by its frame cap (not EOS) must be parked on-device
-    and a reused slot must still match standalone output."""
+    and a reused slot must still match standalone output.
+
+    With max_frames=4 the ring region (required_ctx_ring(4,40)=128, ~112
+    ring slots) wraps every ~3 chunks, so 7 sequential requests exercise
+    multiple ring wraparounds — each must still match standalone."""
     p = _params()
     base = engine.synthesize(
         "hello world.", TTSParams(max_audio_tokens=4, temperature=0.0,
                                   print_timing=False, seed=0))
     cb = ContinuousBatcher(engine, n_slots=1, params=p, max_frames=4)
-    rids = [cb.submit("hello world.") for _ in range(3)]
+    rids = [cb.submit("hello world.") for _ in range(7)]
     results = cb.run_all()
     for rid in rids:
         res = results[rid]
