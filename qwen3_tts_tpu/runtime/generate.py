@@ -236,6 +236,12 @@ def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     from ..models.stack import stack_prefill
 
     P = prefill.prefill_embd.shape[1]
+    # Ring-cache invariant: admissions write prefill rows [0..P); a prefill
+    # longer than the reserved region would silently corrupt the shared
+    # ring (slots >= RING_PREFILL_SLOTS are rewritten every step).
+    assert P <= RING_PREFILL_SLOTS, (
+        f"prefill length {P} exceeds RING_PREFILL_SLOTS "
+        f"{RING_PREFILL_SLOTS}; raise RING_PREFILL_SLOTS")
     positions = jnp.arange(P, dtype=jnp.int32)[None, :]
     y, ks, vs = stack_prefill(
         w["layers"], prefill.prefill_embd, positions,

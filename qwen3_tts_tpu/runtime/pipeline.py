@@ -12,7 +12,6 @@ streaming vocoder decode mirroring the TRT callback path
 from __future__ import annotations
 
 import os
-import resource
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
@@ -26,6 +25,7 @@ from ..io.gguf import GGUFReader
 from ..models import speaker_encoder as spk
 from ..models import talker, vocoder, weights as W
 from ..tokenizer import TextTokenizer
+from ..utils.trace import StageTimer, memory_snapshot, profile_trace
 from . import audio_io
 from .generate import (ctx_bucket, generate_chunk, init_state, make_consts,
                        required_ctx)
@@ -67,18 +67,6 @@ class TTSResult:
 
 def _now_ms() -> float:
     return time.monotonic() * 1e3
-
-
-def _rss_bytes() -> int:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
-
-
-def _device_mem_bytes() -> int:
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        return int(stats.get("bytes_in_use", 0))
-    except Exception:
-        return 0
 
 
 def _log(msg: str) -> None:
@@ -256,7 +244,16 @@ class Qwen3TTS:
         frame step's MXU work.
         on_chunk(stream_idx, samples) fires per 40-frame chunk when
         streaming decode is enabled.
+
+        Set QWEN3_TTS_PROFILE=<dir> to capture a jax.profiler device trace
+        of the whole call (utils/trace.py).
         """
+        with profile_trace("synthesize_batch"):
+            return self._synthesize_batch_impl(texts, embeddings, params,
+                                               on_chunk)
+
+    def _synthesize_batch_impl(self, texts, embeddings=None, params=None,
+                               on_chunk=None) -> list[TTSResult]:
         p = params or TTSParams()
         results = [TTSResult() for _ in texts]
         if self.talker_w is None or self.tokenizer is None:
@@ -265,11 +262,12 @@ class Qwen3TTS:
             return results
         cfg = self.talker_cfg
         t_total0 = _now_ms()
+        timer = StageTimer()
 
         # 1. tokenize (qwen3_tts.cpp:396)
-        t0 = _now_ms()
-        token_lists = [self.tokenizer.encode_for_tts(t) for t in texts]
-        t_tok = _now_ms() - t0
+        with timer.stage("Tokenization"):
+            token_lists = [self.tokenizer.encode_for_tts(t) for t in texts]
+        t_tok = timer.stages["Tokenization"]
         bad = set()
         for i, (r, toks) in enumerate(zip(results, token_lists)):
             if len(toks) < 4:
@@ -368,8 +366,11 @@ class Qwen3TTS:
             results[b].success = True
         t_decode += _now_ms() - td0
 
-        rss = _rss_bytes()
-        dev = _device_mem_bytes()
+        timer.add("Code generation", t_gen)
+        timer.add("Vocoder decode", t_decode)
+        mem = memory_snapshot()
+        rss = mem["rss_peak_bytes"]
+        dev = mem["device_bytes_in_use"]
         for r in results:
             r.t_tokenize_ms = t_tok
             r.t_generate_ms = t_gen
@@ -378,19 +379,10 @@ class Qwen3TTS:
             r.mem_rss_peak_bytes = rss
             r.device_mem_bytes = dev
         if p.print_timing and results and results[0].success:
-            r = results[0]
-            audio_sec = sum(len(x.audio) for x in results) / r.sample_rate
-            wall = r.t_total_ms / 1e3
-            _log("\nTiming:")
-            _log(f"  Tokenization:    {r.t_tokenize_ms:.0f} ms")
-            _log(f"  Code generation: {r.t_generate_ms:.0f} ms")
-            _log(f"  Vocoder decode:  {r.t_decode_ms:.0f} ms")
-            _log(f"  Total:           {r.t_total_ms:.0f} ms")
-            _log(f"  Audio duration:  {audio_sec:.2f} s "
-                 f"({len(results)} stream(s))")
-            if audio_sec > 0:
-                _log(f"  Throughput:      {audio_sec/wall:.2f}x realtime "
-                     f"(RTF={wall/audio_sec:.3f})")
+            audio_sec = sum(len(x.audio) for x in results) / \
+                results[0].sample_rate
+            timer.report(audio_seconds=audio_sec)
+            _log(f"  Streams:         {len(results)}")
             _log(f"  RSS peak:        {rss/2**20:.0f} MB; "
                  f"device mem: {dev/2**20:.0f} MB")
         return results

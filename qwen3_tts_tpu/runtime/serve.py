@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import talker, vocoder
+from ..utils.trace import profile_trace
 from .generate import (RING_PREFILL_SLOTS, admit_slot, ctx_bucket,
                        generate_chunk, init_state, make_consts, park_slot,
                        required_ctx_ring)
@@ -137,7 +138,13 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     def step(self) -> dict[int, TTSResult]:
         """Run one 40-frame chunk across all slots; admit queued requests
-        into freed slots; return results for requests that finished."""
+        into freed slots; return results for requests that finished.
+
+        QWEN3_TTS_PROFILE=<dir> captures a jax.profiler trace per step."""
+        with profile_trace("serve.step"):
+            return self._step_impl()
+
+    def _step_impl(self) -> dict[int, TTSResult]:
         # attention read window: prefill region + every ring slot written
         # so far (bucketed; full ctx once the ring has wrapped)
         if self.use_ring:
