@@ -296,15 +296,26 @@ def _residual_block(w, x: jax.Array, dilation: int) -> jax.Array:
     return residual + x
 
 
-def _decoder_block(w, x: jax.Array, rate: int) -> jax.Array:
-    """Snake + convT(stride=rate, trim K-rate both sides) + 3 residual
-    blocks (apply_decoder_block, audio_tokenizer_decoder.cpp:581-620)."""
+def _decoder_block(w, x: jax.Array, rate: int,
+                   trim: str = "both") -> jax.Array:
+    """Snake + convT(stride=rate) + 3 residual blocks
+    (apply_decoder_block, audio_tokenizer_decoder.cpp:581-620).
+
+    trim="both": (K-rate) cut from BOTH sides — the GGML-path behavior
+    (audio_tokenizer_decoder.cpp:601-609); output (T+1)*rate - K.
+    trim="causal": (K-rate) cut from the left only — output EXACTLY
+    T*rate, matching the reference's TRT engine whose fixed-frame chunks
+    emit chunk_frames*1920 samples (trt_vocoder.cpp:151-166,
+    trt_vocoder.h:50)."""
     x = snake(x, w["snake_a"], w["snake_b"])
     k = w["conv_t_w"].shape[-1]
     x = conv_transpose1d(x, w["conv_t_w"], rate)
-    trim = k - rate
-    if trim > 0:
-        x = x[:, trim:x.shape[1] - trim]
+    cut = k - rate
+    if cut > 0:
+        if trim == "both":
+            x = x[:, cut:x.shape[1] - cut]
+        else:
+            x = x[:, cut:]
     x = x + w["conv_t_b"]
     for res_w, dilation in zip(w["res"], (1, 3, 9)):
         x = _residual_block(res_w, x, dilation)
@@ -331,33 +342,44 @@ def vq_dequantize(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     return first + rest
 
 
-def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int) -> int:
-    """Exact output sample count for n_frames, following the reference's
-    length arithmetic: upsample convT has no trim
-    (audio_tokenizer_decoder.cpp:498-501), decoder convT trims
-    (K - rate) from BOTH sides (:601-609), all plain convs are causal
-    (length-preserving)."""
+def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int,
+                          trim: str = "both") -> int:
+    """Exact output sample count for n_frames.
+
+    trim="both" (GGML path): upsample convT has no trim
+    (audio_tokenizer_decoder.cpp:498-501), decoder convT trims (K - rate)
+    from BOTH sides (:601-609), plain convs are causal (length-preserving).
+    trim="causal" (TRT-path sample arithmetic): each decoder block emits
+    exactly T*rate, so (with the model's stride-2/K=2 upsample convTs)
+    the total is exactly n_frames * samples_per_frame — the reference
+    engine's chunk_frames*1920 (trt_vocoder.cpp:151-166)."""
     t = n_frames
     for up_w in w["upsample"]:
         t = (t - 1) * 2 + up_w["conv_t_w"].shape[-1]
     for blk_w, rate in zip(w["dec_blocks"], cfg.upsample_rates):
-        k = blk_w["conv_t_w"].shape[-1]
-        t = (t - 1) * rate + k - 2 * (k - rate)
+        if trim == "both":
+            k = blk_w["conv_t_w"].shape[-1]
+            t = (t - 1) * rate + k - 2 * (k - rate)
+        else:
+            t = t * rate
     return t
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("cfg",))
-def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
-    """Decode codes [B, F, n_codebooks] int32 -> audio [B, F*1920] f32.
+@_partial(jax.jit, static_argnames=("cfg", "trim"))
+def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array,
+                   trim: str = "both") -> jax.Array:
+    """Decode codes [B, F, n_codebooks] int32 -> audio f32.
 
-    Full-sequence decode (the GGML-path behavior,
-    audio_tokenizer_decoder.cpp:804-879). For the streaming 40-frame
-    chunked behavior of the TRT path, see runtime.pipeline. Output length
-    is vocoder_output_length(w, cfg, F) — slightly less than F*1920
-    because the decoder convT blocks trim (K-rate) from both sides.
+    trim="both": full-sequence GGML-path behavior
+    (audio_tokenizer_decoder.cpp:804-879); output is
+    vocoder_output_length(w, cfg, F) — slightly less than F*1920 because
+    the decoder convT blocks trim (K-rate) from both sides.
+    trim="causal": TRT-path sample arithmetic — exactly F *
+    samples_per_frame samples (trt_vocoder.cpp:151-166); used by the
+    streaming 40-frame chunked path in runtime.pipeline.
     """
     B, F, _ = codes.shape
     x = vq_dequantize(w, cfg, codes)                        # [B, F, 512]
@@ -382,7 +404,7 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     x = causal_conv1d(x, w["dec0_w"], w["dec0_b"])          # -> decoder_dim
 
     for blk_w, rate in zip(w["dec_blocks"], cfg.upsample_rates):
-        x = _decoder_block(blk_w, x, rate)
+        x = _decoder_block(blk_w, x, rate, trim)
 
     x = snake(x, w["dec5_a"], w["dec5_b"])
     x = causal_conv1d(x, w["dec6_w"], w["dec6_b"])          # [B, T, 1]

@@ -388,25 +388,29 @@ class Qwen3TTS:
         return results
 
     # -- vocoder paths ---------------------------------------------------
-    def decode_codes(self, frames: np.ndarray) -> np.ndarray:
+    def decode_codes(self, frames: np.ndarray,
+                     trim: str = "both") -> np.ndarray:
         """Full-sequence decode of [F, 16] codes (GGML-path behavior)."""
         codes = jnp.asarray(frames[None], jnp.int32)
         return np.asarray(vocoder.vocoder_decode(self.voc_w, self.voc_cfg,
-                                                 codes)[0])
+                                                 codes, trim)[0])
 
     def decode_codes_chunked(self, frames: np.ndarray,
                              chunk: int = CHUNK_FRAMES) -> np.ndarray:
         """Independent fixed-size chunk decode: the TRT-path behavior
         (trt_vocoder.cpp:98-170) — each chunk is zero-padded to `chunk`
-        frames, decoded with no history, and only the valid samples kept."""
+        frames, decoded with no history, and exactly k*samples_per_frame
+        samples kept per k-frame chunk (trt_vocoder.cpp:151-166), so the
+        total is len(frames)*1920 like the reference binary."""
         out = []
         for off in range(0, len(frames), chunk):
             part = frames[off:off + chunk]
             k = len(part)
             padded = np.zeros((chunk, frames.shape[1]), np.int32)
             padded[:k] = part
-            audio = self.decode_codes(padded)
-            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg, k)
+            audio = self.decode_codes(padded, trim="causal")
+            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg,
+                                                  k, trim="causal")
             out.append(audio[:valid])
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
@@ -415,13 +419,14 @@ class Qwen3TTS:
     VOC_MAX_BATCH = 48
 
     def _decode_chunk_batch(self, codes: np.ndarray) -> np.ndarray:
-        """[n, CHUNK, 16] -> [n, samples]; padded to the serving batch size
-        so one compiled vocoder graph serves every wave; split into
-        sub-batches of VOC_MAX_BATCH to bound activation memory."""
+        """[n, CHUNK, 16] -> [n, CHUNK*1920] (causal/TRT sample
+        arithmetic); split into sub-batches of VOC_MAX_BATCH to bound
+        activation memory."""
         n = len(codes)
         if n <= self.VOC_MAX_BATCH:
             return np.asarray(vocoder.vocoder_decode(
-                self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32)))
+                self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
+                trim="causal"))
         parts = [self._decode_chunk_batch(codes[i:i + self.VOC_MAX_BATCH])
                  for i in range(0, n, self.VOC_MAX_BATCH)]
         return np.concatenate(parts, axis=0)
@@ -464,7 +469,8 @@ class Qwen3TTS:
                              np.int32)
             batch[0, :k] = part
             audio = self._decode_chunk_batch(batch)
-            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg, k)
+            valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg,
+                                                  k, trim="causal")
             audio_parts[b].append(audio[0, :valid])
             if on_chunk:
                 on_chunk(b, audio[0, :valid])

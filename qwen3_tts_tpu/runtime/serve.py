@@ -226,7 +226,8 @@ class ContinuousBatcher:
                 out = audio[i]
                 if k < CHUNK_FRAMES:
                     out = out[:vocoder.vocoder_output_length(
-                        self.engine.voc_w, self.engine.voc_cfg, k)]
+                        self.engine.voc_w, self.engine.voc_cfg, k,
+                        trim="causal")]
                 slot.audio.append(out)
                 if slot.on_audio:
                     slot.on_audio(out, is_tail)

@@ -88,6 +88,24 @@ def test_e2e_streaming_matches_nonstreaming_frames(engine):
     assert a.success and b.success
 
 
+def test_streaming_audio_length_parity(engine):
+    """The streaming (TRT-analogue) path emits exactly n_frames *
+    samples_per_frame samples — the reference binary's length arithmetic
+    (trt_vocoder.cpp:151-166)."""
+    res = engine.synthesize("hello world.", _params(streaming_vocoder=True))
+    assert res.success
+    spf = engine.voc_cfg.samples_per_frame
+    assert len(res.audio) == res.n_frames * spf
+
+
+def test_decode_codes_chunked_length_parity(engine):
+    cfg = engine.voc_cfg
+    frames = np.random.default_rng(40).integers(
+        0, cfg.codebook_size, (13, cfg.n_codebooks)).astype(np.int32)
+    audio = engine.decode_codes_chunked(frames, chunk=5)
+    assert len(audio) == 13 * cfg.samples_per_frame
+
+
 def test_max_tokens_respected(engine):
     res = engine.synthesize("hello world.", _params(max_audio_tokens=5))
     assert res.n_frames <= 5

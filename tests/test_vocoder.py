@@ -124,6 +124,61 @@ def test_decode_prefix_consistency(voc):
     np.testing.assert_allclose(part[0, :safe], full[0, :safe], atol=1e-4)
 
 
+def test_causal_trim_exact_sample_count(voc):
+    """trim='causal' emits exactly F * samples_per_frame samples — the
+    reference TRT engine's fixed arithmetic (trt_vocoder.cpp:151-166,
+    trt_vocoder.h:50)."""
+    cfg, w = voc
+    for F in (1, 7, 12):
+        codes = jnp.asarray(np.random.default_rng(30).integers(
+            0, cfg.codebook_size, (1, F, cfg.n_codebooks)), jnp.int32)
+        audio = vocoder_decode(w, cfg, codes, trim="causal")
+        assert audio.shape == (1, F * cfg.samples_per_frame)
+        assert vocoder.vocoder_output_length(w, cfg, F, trim="causal") \
+            == F * cfg.samples_per_frame
+
+
+def test_causal_trim_is_shifted_both_trim(voc):
+    """The causal trim keeps the same samples as the both-sides trim plus
+    the right-edge tail: both-trim output == causal output with the extra
+    left context removed at each decoder block, so the both-trim signal
+    must appear inside the causal signal's interior."""
+    cfg, w = voc
+    F = 10
+    codes = jnp.asarray(np.random.default_rng(31).integers(
+        0, cfg.codebook_size, (1, F, cfg.n_codebooks)), jnp.int32)
+    both = np.asarray(vocoder_decode(w, cfg, codes, trim="both"))[0]
+    causal = np.asarray(vocoder_decode(w, cfg, codes, trim="causal"))[0]
+    assert len(causal) > len(both)
+    # both-trim removes extra samples from the right side only relative to
+    # causal (the left trim is identical), so both == causal[:len(both)]
+    # except where dilated residual convs see different left context —
+    # which they don't, because the trims happen before the residual
+    # stacks at each block; allow small numeric slack.
+    np.testing.assert_allclose(both, causal[:len(both)], atol=1e-4)
+
+
+def test_chunked_boundary_continuity(voc):
+    """Chunked causal decode: interior of each chunk matches the full
+    causal decode (bounded convT lookahead => only samples near chunk
+    edges may differ), and chunk k occupies exactly
+    [k*chunk*spf, (k+1)*chunk*spf)."""
+    cfg, w = voc
+    F, chunk = 16, 8
+    spf = cfg.samples_per_frame
+    codes = np.random.default_rng(32).integers(
+        0, cfg.codebook_size, (F, cfg.n_codebooks))
+    full = np.asarray(vocoder_decode(
+        w, cfg, jnp.asarray(codes[None], jnp.int32), trim="causal"))[0]
+    c0 = np.asarray(vocoder_decode(
+        w, cfg, jnp.asarray(codes[None, :chunk], jnp.int32),
+        trim="causal"))[0]
+    assert len(full) == F * spf and len(c0) == chunk * spf
+    # chunk 0's interior (3-frame lookahead margin) matches the full decode
+    safe = (chunk - 3) * spf
+    np.testing.assert_allclose(c0[:safe], full[:safe], atol=1e-4)
+
+
 def test_batch_equals_single(voc):
     cfg, w = voc
     codes = np.random.default_rng(25).integers(
