@@ -87,11 +87,38 @@ class ContinuousBatcher:
                                   self.params.repetition_penalty)
 
     # ------------------------------------------------------------------
+    def _ensure_trailing_capacity(self, n_rows: int) -> None:
+        """Grow the shared trailing-text buffer to a power-of-two bucket
+        covering n_rows (one generate_chunk/admit_slot recompile per new
+        bucket), so long texts are never silently truncated — the
+        reference's trailing schedule is arbitrary-length
+        (tts_transformer.cpp:1214-1228).
+
+        Rows past max_frames are never read (the frame cap retires the
+        stream first), so capacity is capped there."""
+        n_rows = min(n_rows, self.max_frames)
+        if n_rows <= self.trailing_buf:
+            return
+        new = self.trailing_buf
+        while new < n_rows:
+            new *= 2
+        grow = new - self.trailing_buf
+        self.trailing_buf = new
+        self.consts = self.consts._replace(
+            trailing_hidden=jnp.pad(self.consts.trailing_hidden,
+                                    ((0, 0), (0, grow), (0, 0))))
+
     def _pad_trailing(self, trailing: jax.Array) -> jax.Array:
         t = trailing.shape[1]
         if t < self.trailing_buf:
             return jnp.pad(trailing,
                            ((0, 0), (0, self.trailing_buf - t), (0, 0)))
+        if t > self.trailing_buf:
+            # only rows the frame cap makes unreachable may be dropped
+            assert self.trailing_buf >= self.max_frames, (
+                f"trailing schedule ({t} rows) exceeds the buffer "
+                f"({self.trailing_buf}) below max_frames "
+                f"({self.max_frames}) — _ensure_trailing_capacity bug")
         return trailing[:, :self.trailing_buf]
 
     def submit(self, text: str, embedding: np.ndarray | None = None,
@@ -126,6 +153,7 @@ class ContinuousBatcher:
                 self.engine.talker_w, cfg, tok, tlen, spk,
                 language_id=jnp.full((1,), self.params.language_id,
                                      jnp.int32))
+            self._ensure_trailing_capacity(prefill.trailing_hidden.shape[1])
             prefill = prefill._replace(
                 trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
             self.state, self.consts = admit_slot(

@@ -100,6 +100,28 @@ def test_slot_reuse_after_frame_cap(engine):
         np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
 
 
+def test_long_text_matches_standalone(engine):
+    """A text whose trailing schedule exceeds the default 256-row buffer
+    must NOT be silently truncated: the shared buffer grows to the next
+    bucket and the continuous output matches standalone synthesis
+    (reference handles arbitrary-length trailing schedules,
+    tts_transformer.cpp:1214-1228)."""
+    text = "hello world. " * 60  # ~420 text tokens -> trailing > 256
+    n_tok = len(engine.tokenizer.encode_for_tts(text))
+    assert n_tok > 260, f"test text too short ({n_tok} tokens)"
+    max_frames = 280
+    base = engine.synthesize(
+        text, TTSParams(max_audio_tokens=max_frames, temperature=0.0,
+                        print_timing=False, seed=0))
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(),
+                           max_frames=max_frames)
+    rid = cb.submit(text)
+    assert cb.trailing_buf >= min(n_tok - 9, max_frames)
+    res = cb.run_all()[rid]
+    assert res.n_frames == base.n_frames
+    np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
+
+
 def test_streaming_callback(engine):
     got = []
     cb = ContinuousBatcher(engine, n_slots=1, params=_params(), max_frames=6)
