@@ -418,6 +418,19 @@ class Qwen3TTS:
     # decode batch and split bigger waves (B=96 OOMs on v5e otherwise).
     VOC_MAX_BATCH = 48
 
+    # Decode-batch buckets: a mostly-idle server decodes 1 ready stream at
+    # bucket-1 cost instead of padding to the full slot count; one
+    # compiled vocoder graph per bucket.
+    VOC_BUCKETS = (1, 4, 8, 16, 32)
+
+    def voc_bucket(self, n_ready: int, cap: int) -> int:
+        """Smallest decode-batch bucket covering n_ready, capped at the
+        serving batch size."""
+        for b in self.VOC_BUCKETS:
+            if n_ready <= b < cap:
+                return b
+        return cap
+
     def _decode_chunk_batch(self, codes: np.ndarray) -> np.ndarray:
         """[n, CHUNK, 16] -> [n, CHUNK*1920] (causal/TRT sample
         arithmetic); split into sub-batches of VOC_MAX_BATCH to bound
@@ -445,7 +458,8 @@ class Qwen3TTS:
                     ready.append((b, full[done:done + CHUNK_FRAMES]))
             if not ready:
                 return
-            batch = np.zeros((len(frames), CHUNK_FRAMES, n_cb), np.int32)
+            nb = self.voc_bucket(len(ready), len(frames))
+            batch = np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, part) in enumerate(ready):
                 batch[i] = part
             audio = self._decode_chunk_batch(batch)
@@ -465,8 +479,8 @@ class Qwen3TTS:
         if done < len(full):
             part = full[done:]
             k = len(part)
-            batch = np.zeros((len(frames), CHUNK_FRAMES, full.shape[1]),
-                             np.int32)
+            nb = self.voc_bucket(1, len(frames))
+            batch = np.zeros((nb, CHUNK_FRAMES, full.shape[1]), np.int32)
             batch[0, :k] = part
             audio = self._decode_chunk_batch(batch)
             valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg,

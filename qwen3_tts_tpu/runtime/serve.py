@@ -245,7 +245,8 @@ class ContinuousBatcher:
                     work.append((b, part, remaining, True))
             if not work:
                 return
-            batch = np.zeros((len(self.slots), CHUNK_FRAMES, n_cb), np.int32)
+            nb = self.engine.voc_bucket(len(work), len(self.slots))
+            batch = np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, chunk, _, _) in enumerate(work):
                 batch[i] = chunk
             audio = self.engine._decode_chunk_batch(batch)
