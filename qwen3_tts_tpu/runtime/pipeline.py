@@ -315,16 +315,32 @@ class Qwen3TTS:
         audio_parts: list[list[np.ndarray]] = [[] for _ in range(B)]
         t_decode = 0.0
         n_chunks = -(-p.max_audio_tokens // CHUNK_FRAMES)
-        pending_decode = []
-        for _ in range(n_chunks):
+        greedy = p.temperature <= 0.0
+
+        # Pipelined dispatch: generation chunk k is enqueued BEFORE the
+        # host reads chunk k-1's codes and runs the vocoder, so the device
+        # queue is never empty between chunks (gen k-1 | voc k-2 | gen k |
+        # voc k-1 | ... back-to-back). The reference decodes synchronously
+        # inside its frame callback instead (qwen3_tts.cpp:440-452).
+        def dispatch(state):
             read_ctx = ctx_bucket(int(np.asarray(state.n_past).max()),
                                   CHUNK_FRAMES, max_ctx)
-            state, codes, valid = generate_chunk(
+            return generate_chunk(
                 self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
-                greedy=p.temperature <= 0.0, read_ctx=read_ctx,
-                lockstep=True)
-            codes_h = np.asarray(codes)          # [chunk, B, 16]
-            valid_h = np.asarray(valid)          # [chunk, B]
+                greedy=greedy, read_ctx=read_ctx, lockstep=True)
+
+        state, codes_d, valid_d = dispatch(state)
+        chunk_idx = 1
+        while True:
+            # sync on the in-flight chunk's completion, then immediately
+            # re-fill the device queue with the next one
+            done_h = np.asarray(state.done)
+            if chunk_idx < n_chunks and not done_h.all():
+                state, codes_next, valid_next = dispatch(state)
+            else:
+                codes_next = valid_next = None
+            codes_h = np.asarray(codes_d)        # [chunk, B, 16]
+            valid_h = np.asarray(valid_d)        # [chunk, B]
             for b in range(B):
                 got = codes_h[valid_h[:, b], b]
                 if len(frames[b]) + len(got) > p.max_audio_tokens:
@@ -336,8 +352,10 @@ class Qwen3TTS:
                 td0 = _now_ms()
                 self._decode_streaming(frames, audio_parts, on_chunk)
                 t_decode += _now_ms() - td0
-            if bool(np.all(np.asarray(state.done))):
+            if codes_next is None:
                 break
+            codes_d, valid_d = codes_next, valid_next
+            chunk_idx += 1
         t_gen = _now_ms() - t0 - t_decode
 
         # 3. vocoder decode (full-sequence when not streaming,

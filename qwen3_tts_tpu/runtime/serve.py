@@ -79,6 +79,7 @@ class ContinuousBatcher:
         self.use_ring = ring_env != "0"
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
         self._steps_done = 0
+        self._inflight = None  # (codes, valid) of the enqueued gen chunk
         seed = self.params.seed if self.params.seed is not None else 0
         self.state = init_state(engine.talker_w, cfg, prefill, self.ctx,
                                 jax.random.PRNGKey(seed),
@@ -164,15 +165,8 @@ class ContinuousBatcher:
                 t_start=time.monotonic(), on_audio=on_audio)
 
     # ------------------------------------------------------------------
-    def step(self) -> dict[int, TTSResult]:
-        """Run one 40-frame chunk across all slots; admit queued requests
-        into freed slots; return results for requests that finished.
-
-        QWEN3_TTS_PROFILE=<dir> captures a jax.profiler trace per step."""
-        with profile_trace("serve.step"):
-            return self._step_impl()
-
-    def _step_impl(self) -> dict[int, TTSResult]:
+    def _dispatch_chunk(self) -> None:
+        """Enqueue one 40-frame generation chunk on the device."""
         # attention read window: prefill region + every ring slot written
         # so far (bucketed; full ctx once the ring has wrapped)
         if self.use_ring:
@@ -187,12 +181,35 @@ class ContinuousBatcher:
             greedy=self.params.temperature <= 0.0, read_ctx=read_ctx,
             ring=self.use_ring)
         self._steps_done += CHUNK_FRAMES
-        codes_h = np.asarray(codes)      # [chunk, B, 16]
-        valid_h = np.asarray(valid)      # [chunk, B]
+        self._inflight = (codes, valid)
+
+    def step(self) -> dict[int, TTSResult]:
+        """Process one 40-frame chunk across all slots; admit queued
+        requests into freed slots; return results for finished requests.
+
+        Pipelined dispatch: the next chunk's generation is enqueued before
+        this chunk's vocoder decode runs, so the device queue stays full
+        (gen k+1 | voc k back-to-back, no host-turnaround bubble).
+        Requests admitted into slots freed THIS step still join chunk k+1
+        (admit ops chain onto the in-flight state).
+
+        QWEN3_TTS_PROFILE=<dir> captures a jax.profiler trace per step."""
+        with profile_trace("serve.step"):
+            return self._step_impl()
+
+    def _step_impl(self) -> dict[int, TTSResult]:
+        if self._inflight is None:
+            if not self.pending():
+                return {}
+            self._dispatch_chunk()
+        codes_d, valid_d = self._inflight
+        self._inflight = None
+        codes_h = np.asarray(codes_d)    # [chunk, B, 16]
+        valid_h = np.asarray(valid_d)    # [chunk, B]
         done_h = np.asarray(self.state.done)
 
-        finished: dict[int, TTSResult] = {}
-        retiring: dict[int, bool] = {}
+        live: list[_Slot] = []
+        retired: list[_Slot] = []
         for b, slot in enumerate(self.slots):
             if not slot.busy:
                 continue
@@ -204,45 +221,47 @@ class ContinuousBatcher:
                 slot.frames.append(got)
             n_have += len(got)
             is_done = bool(done_h[b]) or n_have >= slot.max_frames
-            if is_done and not bool(done_h[b]):
-                # retired by the frame cap, not EOS: stop the device
-                # stream so its cache position freezes
-                self.state = park_slot(self.state, jnp.int32(b))
-            retiring[b] = is_done
-
-        self._decode_ready_batch(retiring)
-        for b, is_done in retiring.items():
             if is_done:
-                slot = self.slots[b]
-                finished[slot.request_id] = self._finalize(slot)
-                self.slots[b] = _Slot()
-        self._admit_pending()
-        return finished
+                if not bool(done_h[b]):
+                    # retired by the frame cap, not EOS: stop the device
+                    # stream so its cache position freezes
+                    self.state = park_slot(self.state, jnp.int32(b))
+                retired.append(slot)
+                self.slots[b] = _Slot()  # free before admissions
+            else:
+                live.append(slot)
 
-    def _decode_ready_batch(self, retiring: dict[int, bool]) -> None:
-        """Vocoder-decode every slot's ready chunks, batched across slots
-        (one [n, 40] call per wave instead of n B=1 calls), plus the
-        ragged final tail of retiring slots."""
+        # admissions first so freed slots join the very next chunk, then
+        # enqueue that chunk BEFORE the vocoder decode of this one
+        self._admit_pending()
+        if any(s.busy for s in self.slots):
+            self._dispatch_chunk()
+        self._decode_slots(live, retired)
+        return {slot.request_id: self._finalize(slot) for slot in retired}
+
+    def _decode_slots(self, live: list[_Slot], retired: list[_Slot]) -> None:
+        """Vocoder-decode every slot's ready 40-frame chunks, batched
+        across slots (one [n, 40] call per wave instead of n B=1 calls),
+        plus the ragged final tail of retired slots."""
         if self.engine.voc_w is None:
             return
         n_cb = self.cfg.n_codebooks
+        targets = [(s, False) for s in live] + [(s, True) for s in retired]
         while True:
-            work: list[tuple[int, np.ndarray, int, bool]] = []
-            for b, slot in enumerate(self.slots):
-                if not slot.busy:
-                    continue
+            work: list[tuple[_Slot, np.ndarray, int, bool]] = []
+            for slot, is_retired in targets:
                 total = sum(len(f) for f in slot.frames)
                 done = len(slot.audio) * CHUNK_FRAMES
                 remaining = total - done
                 if remaining >= CHUNK_FRAMES:
                     full = np.concatenate(slot.frames)
-                    work.append((b, full[done:done + CHUNK_FRAMES],
+                    work.append((slot, full[done:done + CHUNK_FRAMES],
                                  CHUNK_FRAMES, False))
-                elif remaining > 0 and retiring.get(b, False):
+                elif remaining > 0 and is_retired:
                     full = np.concatenate(slot.frames)
                     part = np.zeros((CHUNK_FRAMES, n_cb), np.int32)
                     part[:remaining] = full[done:]
-                    work.append((b, part, remaining, True))
+                    work.append((slot, part, remaining, True))
             if not work:
                 return
             nb = self.engine.voc_bucket(len(work), len(self.slots))
@@ -250,8 +269,7 @@ class ContinuousBatcher:
             for i, (_, chunk, _, _) in enumerate(work):
                 batch[i] = chunk
             audio = self.engine._decode_chunk_batch(batch)
-            for i, (b, _, k, is_tail) in enumerate(work):
-                slot = self.slots[b]
+            for i, (slot, _, k, is_tail) in enumerate(work):
                 out = audio[i]
                 if k < CHUNK_FRAMES:
                     out = out[:vocoder.vocoder_output_length(
