@@ -42,15 +42,29 @@ def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
 
 def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
          eps: float, theta: float, positions: jax.Array):
-    """Fused QKV projection + per-head norm + RoPE. x_norm: [B,T,H] f32."""
+    """QKV projection + per-head norm + RoPE. x_norm: [B,T,H] f32.
+
+    Two weight layouts: fused "wqkv" (single-device fast path — one
+    matmul) or unfused "wq"/"wk"/"wv" (tp>1 meshes, where each projection
+    is column-sharded without crossing the q/k/v boundary —
+    parallel/mesh.unfuse_stack_layers)."""
     B, T = x_norm.shape[0], x_norm.shape[1]
-    xb = x_norm.astype(wl["wqkv"].dtype)
-    qkv = jnp.dot(xb, wl["wqkv"], preferred_element_type=jnp.float32)
     nq = n_heads * head_dim
     nk = n_kv * head_dim
-    q = qkv[..., :nq].reshape(B, T, n_heads, head_dim)
-    k = qkv[..., nq:nq + nk].reshape(B, T, n_kv, head_dim)
-    v = qkv[..., nq + nk:].reshape(B, T, n_kv, head_dim)
+    if "wq" in wl:
+        xb = x_norm.astype(wl["wq"].dtype)
+        q = jnp.dot(xb, wl["wq"], preferred_element_type=jnp.float32)
+        k = jnp.dot(xb, wl["wk"], preferred_element_type=jnp.float32)
+        v = jnp.dot(xb, wl["wv"], preferred_element_type=jnp.float32)
+        q = q.reshape(B, T, n_heads, head_dim)
+        k = k.reshape(B, T, n_kv, head_dim)
+        v = v.reshape(B, T, n_kv, head_dim)
+    else:
+        xb = x_norm.astype(wl["wqkv"].dtype)
+        qkv = jnp.dot(xb, wl["wqkv"], preferred_element_type=jnp.float32)
+        q = qkv[..., :nq].reshape(B, T, n_heads, head_dim)
+        k = qkv[..., nq:nq + nk].reshape(B, T, n_kv, head_dim)
+        v = qkv[..., nq + nk:].reshape(B, T, n_kv, head_dim)
     # Per-head q/k RMSNorm before RoPE (tts_transformer.cpp:1280-1288)
     q = rms_norm(q, wl["q_norm"], eps)
     k = rms_norm(k, wl["k_norm"], eps)
@@ -60,9 +74,16 @@ def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
 
 
 def _ffn(wl, x: jax.Array, eps: float) -> jax.Array:
-    h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gu"].dtype)
-    gu = jnp.dot(h, wl["w_gu"], preferred_element_type=jnp.float32)
-    gate, up = jnp.split(gu, 2, axis=-1)
+    """SwiGLU FFN; fused "w_gu" or unfused "w_gate"/"w_up" layouts (the
+    latter for tp>1 column sharding — see _qkv)."""
+    if "w_gate" in wl:
+        h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gate"].dtype)
+        gate = jnp.dot(h, wl["w_gate"], preferred_element_type=jnp.float32)
+        up = jnp.dot(h, wl["w_up"], preferred_element_type=jnp.float32)
+    else:
+        h = rms_norm(x, wl["ffn_norm"], eps).astype(wl["w_gu"].dtype)
+        gu = jnp.dot(h, wl["w_gu"], preferred_element_type=jnp.float32)
+        gate, up = jnp.split(gu, 2, axis=-1)
     act = (jax.nn.silu(gate) * up).astype(wl["w_down"].dtype)
     return jnp.dot(act, wl["w_down"], preferred_element_type=jnp.float32)
 

@@ -38,13 +38,37 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def talker_shardings(mesh: Mesh) -> dict[str, Any]:
+def unfuse_stack_layers(layers: dict, n_heads: int, n_kv: int,
+                        head_dim: int) -> dict:
+    """Split the fused wqkv -> wq/wk/wv and w_gu -> w_gate/w_up so each
+    projection can be column-sharded on `tp` without crossing the q/k/v
+    (or gate/up) internal boundaries. stack.py accepts both layouts."""
+    out = dict(layers)
+    wqkv = out.pop("wqkv")
+    nq, nk = n_heads * head_dim, n_kv * head_dim
+    out["wq"] = wqkv[..., :nq]
+    out["wk"] = wqkv[..., nq:nq + nk]
+    out["wv"] = wqkv[..., nq + nk:]
+    w_gu = out.pop("w_gu")
+    inter = w_gu.shape[-1] // 2
+    out["w_gate"] = w_gu[..., :inter]
+    out["w_up"] = w_gu[..., inter:]
+    return out
+
+
+def talker_shardings(mesh: Mesh, unfused: bool = False) -> dict[str, Any]:
     """Sharding pytree matching weights.load_talker_weights's structure.
 
     Megatron layout: q/k/v and gate/up are column-parallel (output dim on
     `tp`), o and down are row-parallel (input dim on `tp`) — GSPMD
     completes each attention/FFN block with one psum over ICI. Norms and
     embeddings are replicated (embeddings are gathered by token id).
+
+    unfused=True (tp>1): the stack layers carry wq/wk/wv + w_gate/w_up
+    (see unfuse_stack_layers) so every projection is genuinely sharded.
+    With the fused layout a plain 'tp' column shard would split q/k/v
+    (or gate/up) across their internal boundaries, so fused wqkv stays
+    replicated there.
     """
     col = _ns(mesh, None, None, "tp")   # [L, in, out@tp]
     row = _ns(mesh, None, "tp", None)   # [L, in@tp, out]
@@ -53,18 +77,17 @@ def talker_shardings(mesh: Mesh) -> dict[str, Any]:
     rep3 = _ns(mesh, None, None, None)
 
     def stack_spec():
-        # NOTE: wqkv/w_gu are fused along the output dim; a plain 'tp'
-        # column shard would split q/k/v (or gate/up) unevenly across
-        # their internal boundaries, so the fused projections are
-        # replicated and only the row-parallel outputs + the big heads
-        # are sharded. (Per-matmul TP returns when the loader keeps
-        # unfused copies for tp>1 meshes.)
-        return {
+        base = {
             "attn_norm": rep2, "q_norm": rep2, "k_norm": rep2,
             "ffn_norm": rep2,
-            "wqkv": rep3, "wo": row,
-            "w_gu": col, "w_down": row,
+            "wo": row, "w_down": row,
         }
+        if unfused:
+            base.update({"wq": col, "wk": col, "wv": col,
+                         "w_gate": col, "w_up": col})
+        else:
+            base.update({"wqkv": rep3, "w_gu": col})
+        return base
 
     return {
         "text_embd": rep2,
@@ -85,8 +108,24 @@ def talker_shardings(mesh: Mesh) -> dict[str, Any]:
     }
 
 
-def shard_talker_weights(w, mesh: Mesh):
-    specs = talker_shardings(mesh)
+def shard_talker_weights(w, mesh: Mesh, cfg=None):
+    """Place talker weights on the mesh. For tp>1 pass the TalkerConfig:
+    the fused wqkv/w_gu get unfused (talker + code-pred stacks) so every
+    projection is column/row-sharded Megatron-style."""
+    tp = mesh.shape.get("tp", 1)
+    unfused = tp > 1
+    if unfused:
+        if cfg is None:
+            raise ValueError("tp>1 sharding needs cfg to unfuse wqkv/w_gu")
+        w = dict(w)
+        w["layers"] = unfuse_stack_layers(
+            w["layers"], cfg.n_attention_heads, cfg.n_key_value_heads,
+            cfg.head_dim)
+        w["code_pred"] = dict(w["code_pred"])
+        w["code_pred"]["layers"] = unfuse_stack_layers(
+            w["code_pred"]["layers"], cfg.code_pred_n_attention_heads,
+            cfg.code_pred_n_kv_heads, cfg.code_pred_head_dim)
+    specs = talker_shardings(mesh, unfused=unfused)
 
     def place(x, s):
         return None if x is None else jax.device_put(x, s)

@@ -162,7 +162,8 @@ class Qwen3TTS:
         inserting the ICI collectives. The reference has no multi-device
         story at all (SURVEY.md §2 parallelism table)."""
         from ..parallel.mesh import shard_talker_weights
-        self.talker_w = shard_talker_weights(self.talker_w, mesh)
+        self.talker_w = shard_talker_weights(self.talker_w, mesh,
+                                             self.talker_cfg)
         self.mesh = mesh
         return self
 

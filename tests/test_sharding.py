@@ -60,7 +60,7 @@ def test_dp_tp_sharded_matches_single(setup):
     base_codes, base_valid = _run(cfg, w, prefill)
 
     mesh = make_mesh(4, 2)
-    w_s = shard_talker_weights(w, mesh)
+    w_s = shard_talker_weights(w, mesh, cfg)
     ctx = required_ctx(prefill.prefill_embd.shape[1], 4, 4)
     state = init_state(w_s, cfg, prefill, ctx, jax.random.PRNGKey(0))
     state = shard_gen_state(state, mesh)
@@ -69,6 +69,33 @@ def test_dp_tp_sharded_matches_single(setup):
 
     np.testing.assert_array_equal(np.asarray(codes), base_codes)
     np.testing.assert_array_equal(np.asarray(valid), base_valid)
+
+
+def test_tp_projections_actually_sharded(setup):
+    """tp>1 must unfuse wqkv/w_gu and column-shard every projection on
+    'tp' — not replicate the fused tensors (round-1 gap)."""
+    cfg, w, prefill = setup
+    mesh = make_mesh(4, 2)
+    w_s = shard_talker_weights(w, mesh, cfg)
+    for stack in (w_s["layers"], w_s["code_pred"]["layers"]):
+        assert "wqkv" not in stack and "w_gu" not in stack
+        for name in ("wq", "wk", "wv", "w_gate", "w_up"):
+            spec = stack[name].sharding.spec
+            assert "tp" in tuple(spec), (name, spec)
+        for name in ("wo", "w_down"):
+            spec = stack[name].sharding.spec
+            assert "tp" in tuple(spec), (name, spec)
+    # and per-shard sizes actually halve the projection bytes
+    wq = w_s["layers"]["wq"]
+    shard = next(iter(wq.addressable_shards))
+    assert shard.data.shape[-1] == wq.shape[-1] // 2
+
+
+def test_tp_requires_cfg(setup):
+    cfg, w, prefill = setup
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="cfg"):
+        shard_talker_weights(w, mesh)
 
 
 def test_mesh_shapes():
