@@ -183,6 +183,73 @@ def quantize_q8_0(data: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q4_0(data: np.ndarray) -> np.ndarray:
+    """Q4_0-quantize float data (GGML block format: f16 scale + 16 bytes
+    of nibbles per 32 values; low nibbles = elems 0..15, high = 16..31).
+    Scale convention follows ggml's quantize_row_q4_0: d = signed_max/-8,
+    q = clip(x/d + 8.5, 0, 15)."""
+    flat = data.astype(np.float32).reshape(-1)
+    if flat.size % 32 != 0:
+        raise ValueError("Q4_0 requires a multiple of 32 elements")
+    groups = flat.reshape(-1, 32)
+    idx = np.abs(groups).argmax(axis=1)
+    smax = groups[np.arange(len(groups)), idx]          # signed max-|.|
+    d = (smax / -8.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(groups * inv[:, None] + 8.5, 0.0, 15.0).astype(np.uint8)
+    out = np.empty((groups.shape[0], 18), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quantize_q4_k(data: np.ndarray) -> np.ndarray:
+    """Q4_K-quantize float data (GGML super-block format: 256 values in 8
+    sub-blocks of 32; f16 super scale d + super min dmin, 12 bytes of
+    6-bit sub-block scales/mins, 128 bytes of nibbles).
+
+    Simple min/max encoder (value = d*sc*q - dmin*mn); the format does
+    not prescribe the optimizer, so any encoding decodable by
+    _dequant_q4_k is valid."""
+    flat = data.astype(np.float32).reshape(-1)
+    if flat.size % 256 != 0:
+        raise ValueError("Q4_K requires a multiple of 256 elements")
+    sub = flat.reshape(-1, 8, 32)
+    nb = sub.shape[0]
+    smin = np.minimum(sub.min(axis=2), 0.0)             # [nb, 8], <= 0
+    smax = sub.max(axis=2)
+    scales = np.maximum((smax - smin) / 15.0, 0.0)      # per-sub scale
+    mins = -smin                                        # >= 0
+    d = np.max(scales, axis=1) / 63.0                   # [nb]
+    dmin = np.max(mins, axis=1) / 63.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    inv_m = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1.0, dmin), 0.0)
+    sc = np.clip(np.round(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.round(mins * inv_m[:, None]), 0, 63).astype(np.uint8)
+
+    d16 = d.astype(np.float16).astype(np.float32)
+    dmin16 = dmin.astype(np.float16).astype(np.float32)
+    eff_scale = d16[:, None, None] * sc[:, :, None].astype(np.float32)
+    eff_min = dmin16[:, None, None] * mn[:, :, None].astype(np.float32)
+    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1.0,
+                                                   eff_scale), 0.0)
+    q = np.clip(np.round((sub + eff_min) * inv_s), 0, 15).astype(np.uint8)
+
+    out = np.empty((nb, 144), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    # 6-bit scale/min packing (inverse of _dequant_q4_k)
+    packed = np.zeros((nb, 12), dtype=np.uint8)
+    for j in range(4):
+        packed[:, j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        packed[:, j + 4] = (mn[:, j] & 63) | ((mn[:, j + 4] >> 4) << 6)
+        packed[:, j + 8] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    out[:, 4:16] = packed
+    qr = q.reshape(nb, 4, 2, 32)                        # [nb, chunk, lo/hi, 32]
+    out[:, 16:] = (qr[:, :, 0, :] | (qr[:, :, 1, :] << 4)).reshape(nb, 128)
+    return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
@@ -381,6 +448,10 @@ class GGUFWriter:
                 data = data.astype(np.float32)
         if ggml_type == GGML_Q8_0:
             payload = quantize_q8_0(data).tobytes()
+        elif ggml_type == GGML_Q4_0:
+            payload = quantize_q4_0(data).tobytes()
+        elif ggml_type == GGML_Q4_K:
+            payload = quantize_q4_k(data).tobytes()
         elif ggml_type == GGML_F16:
             payload = data.astype(np.float16).tobytes()
         elif ggml_type == GGML_F32:

@@ -227,6 +227,36 @@ def make_codec_checkpoint(d: Path, rng):
     return arrays
 
 
+def test_tts_q4_output(tmp_path, rng):
+    """q4_0/q4_k converter output: exclusion rules keep embeddings, norms,
+    biases and heads hi-fi (convert_tts_to_gguf.py:248-335); the weights
+    still load and closely match f32."""
+    from qwen3_tts_tpu.io.gguf import GGML_F16, GGML_F32, GGML_Q4_0, GGML_Q4_K
+    ckpt = tmp_path / "hf"
+    ckpt.mkdir()
+    arrays = make_tts_checkpoint(ckpt, rng)
+    for out_type, qt in (("q4_0", GGML_Q4_0), ("q4_k", GGML_Q4_K)):
+        out = tmp_path / f"tts_{out_type}.gguf"
+        cc.convert_tts(ckpt, out, out_type)
+        with GGUFReader(str(out)) as r:
+            types = {n: t.ggml_type for n, t in r.tensors.items()}
+            # exclusions stay hi-fi
+            assert types["talker.codec_embd.weight"] in (GGML_F16, GGML_F32)
+            assert types["talker.codec_head.weight"] in (GGML_F16, GGML_F32)
+            assert types["talker.blk.0.attn_norm.weight"] == GGML_F32
+            # big matmuls are quantized (when block-divisible)
+            quantized = [n for n, t in types.items() if t == qt]
+            assert quantized, f"no tensors quantized for {out_type}"
+            w = load_talker_weights(r, TalkerConfig.from_gguf(r))
+        ref = np.concatenate([
+            arrays["talker.model.layers.0.self_attn.q_proj.weight"].T,
+            arrays["talker.model.layers.0.self_attn.k_proj.weight"].T,
+            arrays["talker.model.layers.0.self_attn.v_proj.weight"].T],
+            axis=1)
+        got = np.asarray(w["layers"]["wqkv"][0], dtype=np.float32)
+        assert np.abs(got - ref).max() <= np.abs(ref).max() / 6.0
+
+
 def test_codec_roundtrip(tmp_path, rng):
     import dataclasses
     import jax.numpy as jnp

@@ -64,6 +64,49 @@ def test_q8_0_roundtrip(rng):
     np.testing.assert_allclose(y, x, atol=np.abs(x).max() / 100.0)
 
 
+def test_q4_0_quantize_roundtrip(rng):
+    from qwen3_tts_tpu.io.gguf import GGML_Q4_0, quantize_q4_0
+    x = rng.standard_normal(512).astype(np.float32) * 2.0
+    raw = quantize_q4_0(x)
+    y = dequantize(raw, GGML_Q4_0, 512)
+    # 4-bit: per-32-block error bounded by ~d = max/8
+    err = np.abs(y - x).reshape(-1, 32).max(axis=1)
+    bound = np.abs(x).reshape(-1, 32).max(axis=1) / 8.0 + 1e-6
+    assert np.all(err <= bound * 1.01)
+
+
+def test_q4_k_quantize_roundtrip(rng):
+    from qwen3_tts_tpu.io.gguf import GGML_Q4_K, quantize_q4_k
+    x = (rng.standard_normal(1024).astype(np.float32) * 2.0 + 0.7)
+    raw = quantize_q4_k(x)
+    assert raw.size == (1024 // 256) * 144
+    y = dequantize(raw, GGML_Q4_K, 1024)
+    # 4-bit with per-sub-block min/scale: step = (max-min)/15 (+6-bit
+    # scale quantization slack)
+    sub_x = x.reshape(-1, 32)
+    step = (sub_x.max(axis=1) - sub_x.min(axis=1)) / 15.0
+    err = np.abs(y - x).reshape(-1, 32).max(axis=1)
+    assert np.all(err <= step * 1.2 + 0.05)
+
+
+def test_q4_writer_roundtrip(tmp_path, rng):
+    from qwen3_tts_tpu.io.gguf import GGML_Q4_0, GGML_Q4_K, GGUFWriter
+    w = GGUFWriter("test")
+    a = rng.standard_normal((16, 32)).astype(np.float32)
+    b = rng.standard_normal((8, 64)).astype(np.float32)
+    w.add_tensor("a", a, GGML_Q4_0)
+    w.add_tensor("b", b, GGML_Q4_K)
+    path = tmp_path / "q4.gguf"
+    w.write(str(path))
+    with GGUFReader(str(path)) as r:
+        assert r.tensors["a"].ggml_type == GGML_Q4_0
+        assert r.tensors["b"].ggml_type == GGML_Q4_K
+        np.testing.assert_allclose(r.tensor_data("a"), a,
+                                   atol=np.abs(a).max() / 7.5)
+        np.testing.assert_allclose(r.tensor_data("b"), b,
+                                   atol=np.abs(b).max() / 7.0)
+
+
 def test_q4_0_dequant_known_block():
     # Hand-built single Q4_0 block: d=0.5, quants 0..15 twice
     import struct

@@ -38,7 +38,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from qwen3_tts_tpu.io.gguf import (  # noqa: E402
-    GGML_F16, GGML_F32, GGML_Q8_0, GGUFWriter)
+    GGML_F16, GGML_F32, GGML_Q4_0, GGML_Q4_K, GGML_Q8_0, GGUFWriter)
 
 
 def _iter_safetensors(input_dir: Path):
@@ -66,13 +66,18 @@ def _to_numpy(t) -> np.ndarray:
 
 def _pick_type(name: str, data: np.ndarray, out_type: str,
                keep_hi_fidelity) -> int:
+    """Quantized types apply only to >=2-D weight matrices that pass the
+    exclusion rules; everything else falls back to F16/F32 — mirrors the
+    reference converter (convert_tts_to_gguf.py:248-335)."""
     if data.ndim <= 1:
         return GGML_F32
     if out_type == "f32":
         return GGML_F32
-    if out_type == "q8_0" and not keep_hi_fidelity(name) \
-            and data.size % 32 == 0:
-        return GGML_Q8_0
+    quant = {"q8_0": (GGML_Q8_0, 32), "q4_0": (GGML_Q4_0, 32),
+             "q4_k": (GGML_Q4_K, 256)}.get(out_type)
+    if quant is not None and not keep_hi_fidelity(name) \
+            and data.size % quant[1] == 0:
+        return quant[0]
     return GGML_F16
 
 
@@ -397,7 +402,8 @@ def main() -> int:
     ap.add_argument("model", choices=["tts", "codec"])
     ap.add_argument("--input", "-i", type=Path, required=True)
     ap.add_argument("--output", "-o", type=Path, required=True)
-    ap.add_argument("--type", "-t", choices=["f16", "f32", "q8_0"],
+    ap.add_argument("--type", "-t",
+                    choices=["f16", "f32", "q8_0", "q4_0", "q4_k"],
                     default="f16")
     args = ap.parse_args()
     args.output.parent.mkdir(parents=True, exist_ok=True)
