@@ -19,10 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import decode_attention
+from ..ops.attention import decode_attention, decode_attention_masked
 from ..ops.layers import (
     gqa_attention_prefill,
-    gqa_attention_step_masked,
     rms_norm,
     rope_neox,
 )
@@ -128,7 +127,10 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                n_valid: jax.Array, *,
                n_heads: int, n_kv: int, head_dim: int,
                eps: float, theta: float, read_ctx: int | None = None,
-               valid_mask: jax.Array | None = None):
+               valid_mask: jax.Array | None = None,
+               window_lo: jax.Array | None = None,
+               window_hi: jax.Array | None = None,
+               prefill_len: int = 0):
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
@@ -144,7 +146,10 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
 
     valid_mask: [B, S] bool — when given, attention masks by this bitmask
     instead of the n_valid prefix length (ring-slot cache mode, where a
-    stream's valid slots are not contiguous).
+    stream's valid slots are not contiguous). window_lo/window_hi +
+    prefill_len optionally bound each stream's valid slots to
+    [0, prefill_len) U [lo, hi) so the flash kernel fetches only those
+    blocks (ops/flash_decode.py).
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
@@ -167,15 +172,16 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                        positions[:, None])
         new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
         cache_l = write(cache_l, new_kv)
-        k_read = cache_l[0] if read_ctx is None else cache_l[0, :, :read_ctx]
-        v_read = cache_l[1] if read_ctx is None else cache_l[1, :, :read_ctx]
         if valid_mask is not None:
-            m = valid_mask if read_ctx is None else valid_mask[:, :read_ctx]
-            attn = gqa_attention_step_masked(q[:, 0].astype(CACHE_DTYPE),
-                                             k_read, v_read, m)
+            attn = decode_attention_masked(
+                q[:, 0].astype(CACHE_DTYPE), cache_l[0], cache_l[1],
+                valid_mask, read_ctx=read_ctx,
+                window_lo=window_lo, window_hi=window_hi,
+                prefill_len=prefill_len)
         else:
             attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
-                                    k_read, v_read, n_valid)
+                                    cache_l[0], cache_l[1], n_valid,
+                                    read_ctx=read_ctx)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn

@@ -175,7 +175,10 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
                 kv_cache: jax.Array, n_past: jax.Array,
                 read_ctx: int | None = None,
                 write_idx: jax.Array | None = None,
-                valid_mask: jax.Array | None = None):
+                valid_mask: jax.Array | None = None,
+                window_lo: jax.Array | None = None,
+                window_hi: jax.Array | None = None,
+                prefill_len: int = 0):
     """Single-frame decode step (build_step_graph, tts_transformer.cpp:1376-1512).
 
     step_embd: [B, hidden]; n_past: scalar int32 OR [B] int32 — tokens
@@ -198,7 +201,8 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
         write_idx if write_idx is not None else n_past, n_valid,
         n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
         head_dim=cfg.head_dim, eps=cfg.rms_norm_eps, theta=cfg.rope_theta,
-        read_ctx=read_ctx, valid_mask=valid_mask)
+        read_ctx=read_ctx, valid_mask=valid_mask,
+        window_lo=window_lo, window_hi=window_hi, prefill_len=prefill_len)
     h = rms_norm(y, w["output_norm"], cfg.rms_norm_eps)
     logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
                      preferred_element_type=jnp.float32)

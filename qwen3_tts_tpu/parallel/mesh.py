@@ -151,6 +151,7 @@ def shard_gen_state(state, mesh: Mesh):
         key=jax.device_put(state.key, rep),
         valid_mask=jax.device_put(state.valid_mask, b2_s),
         write_slot=jax.device_put(state.write_slot, rep),
+        ring_lo=jax.device_put(state.ring_lo, b_s),
     )
 
 

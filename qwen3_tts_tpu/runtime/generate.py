@@ -52,6 +52,9 @@ class GenState(NamedTuple):
     valid_mask: jax.Array     # [B, S] bool — which cache slots each stream
     #                           may attend (slots are NOT position-ordered)
     write_slot: jax.Array     # scalar int32 — next ring slot to write
+    ring_lo: jax.Array        # [B] int32 — ring slot at admission; each
+    #                           stream's valid ring slots lie in the
+    #                           modular window [ring_lo, write_slot]
 
 
 class GenConsts(NamedTuple):
@@ -94,6 +97,7 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
         valid_mask=jnp.broadcast_to(
             jnp.arange(max_ctx)[None, :] < P, (B, max_ctx)),
         write_slot=jnp.int32(max(P, RING_PREFILL_SLOTS)),
+        ring_lo=jnp.full((B,), max(P, RING_PREFILL_SLOTS), jnp.int32),
     )
     return state
 
@@ -177,15 +181,19 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         if ring:
             # ring mode: shared scalar write slot; the just-written row is
             # valid for live streams only (dead lanes get garbage + a
-            # cleared bit). Attention uses the bitmask.
+            # cleared bit). Attention uses the bitmask, bounded by each
+            # stream's [ring_lo, slot+1) lifetime window so the flash
+            # kernel fetches only blocks the stream can have touched.
             slot = state.write_slot
             new_mask = state.valid_mask.at[:, slot].set(~done)
             hidden, logits, cache = talker.talker_step(
                 w, cfg, step_embd, state.kv_cache, state.n_past,
-                read_ctx=read_ctx, write_idx=slot, valid_mask=new_mask)
+                read_ctx=read_ctx, write_idx=slot, valid_mask=new_mask,
+                window_lo=state.ring_lo, window_hi=slot + 1,
+                prefill_len=RING_PREFILL_SLOTS)
             S = state.valid_mask.shape[1]
-            ring_lo = jnp.int32(RING_PREFILL_SLOTS)
-            next_slot = jnp.where(slot + 1 >= S, ring_lo, slot + 1)
+            ring_start = jnp.int32(RING_PREFILL_SLOTS)
+            next_slot = jnp.where(slot + 1 >= S, ring_start, slot + 1)
         else:
             # lock-step batches share one write slot (all live streams sit
             # at the same depth) -> scalar dynamic-update-slice, no scatter
@@ -211,6 +219,7 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
             key=key,
             valid_mask=new_mask,
             write_slot=next_slot,
+            ring_lo=state.ring_lo,
         )
         return new_state, (frame_codes, valid)
 
@@ -269,6 +278,7 @@ def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         key=state.key,
         valid_mask=state.valid_mask.at[slot].set(jnp.arange(S) < P),
         write_slot=state.write_slot,
+        ring_lo=state.ring_lo.at[slot].set(state.write_slot),
     )
     new_consts = GenConsts(
         trailing_hidden=consts.trailing_hidden.at[slot].set(

@@ -5,8 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qwen3_tts_tpu.ops.flash_decode import flash_decode
-from qwen3_tts_tpu.ops.layers import gqa_attention_step
+from qwen3_tts_tpu.ops.flash_decode import flash_decode, flash_decode_masked
+from qwen3_tts_tpu.ops.layers import (gqa_attention_step,
+                                      gqa_attention_step_masked)
 from qwen3_tts_tpu.ops import attention
 
 
@@ -51,6 +52,85 @@ def test_flash_nondivisible_ctx():
     n_valid = jnp.asarray([200, 77], jnp.int32)
     want = gqa_attention_step(q, k, v, n_valid)
     got = flash_decode(q, k, v, n_valid, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_masked_matches_xla():
+    """Bitmask variant (ring-slot cache): arbitrary scattered validity."""
+    B, S, n_heads, n_kv, D = 3, 256, 16, 8, 128
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=5)
+    rng = np.random.default_rng(6)
+    mask = rng.random((B, S)) < 0.4
+    mask[:, 0] = True  # at least one valid slot per stream
+    mask_j = jnp.asarray(mask)
+    want = gqa_attention_step_masked(q, k, v, mask_j)
+    got = flash_decode_masked(q, k, v, mask_j, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_masked_window_skips_blocks():
+    """Ring-window mode: valid bits confined to [0,P) U [lo,hi); the
+    schedule must fetch only overlapping blocks yet match the full-mask
+    XLA result exactly."""
+    B, S, n_heads, n_kv, D = 4, 512, 16, 8, 128
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=7)
+    P = 16
+    rng = np.random.default_rng(8)
+    lo = np.array([16, 130, 300, 450], np.int32)
+    hi_scalar = 460
+    mask = np.zeros((B, S), bool)
+    for b in range(B):
+        lo_b, hi_b = int(lo[b]), hi_scalar
+        mask[b, :10] = True  # prefill rows
+        if lo_b <= hi_b:
+            sl = np.arange(lo_b, hi_b)
+        else:
+            sl = np.r_[np.arange(P, hi_b), np.arange(lo_b, S)]
+        mask[b, sl] = rng.random(len(sl)) < 0.7
+    mask_j = jnp.asarray(mask)
+    want = gqa_attention_step_masked(q, k, v, mask_j)
+    got = flash_decode_masked(
+        q, k, v, mask_j, window_lo=jnp.asarray(lo),
+        window_hi=jnp.int32(hi_scalar), prefill_len=P,
+        block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_masked_window_wraparound():
+    """lo > hi (ring wrapped): window = [P, hi) U [lo, S)."""
+    B, S, n_heads, n_kv, D = 2, 384, 8, 4, 64
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=9)
+    P = 16
+    lo = np.array([300, 350], np.int32)
+    hi_scalar = 120  # wrapped
+    rng = np.random.default_rng(10)
+    mask = np.zeros((B, S), bool)
+    for b in range(B):
+        mask[b, :10] = True
+        sl = np.r_[np.arange(P, hi_scalar), np.arange(int(lo[b]), S)]
+        mask[b, sl] = rng.random(len(sl)) < 0.7
+    mask_j = jnp.asarray(mask)
+    want = gqa_attention_step_masked(q, k, v, mask_j)
+    got = flash_decode_masked(
+        q, k, v, mask_j, window_lo=jnp.asarray(lo),
+        window_hi=jnp.int32(hi_scalar), prefill_len=P,
+        block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_read_ctx_bound():
+    """read_ctx caps the schedule: slots beyond it are never valid, and
+    the result matches XLA on the full mask."""
+    B, S, n_heads, n_kv, D = 2, 512, 8, 4, 64
+    q, k, v = _mk(B, S, n_heads, n_kv, D, seed=11)
+    n_valid = jnp.asarray([100, 250], jnp.int32)
+    want = gqa_attention_step(q, k, v, n_valid)
+    got = flash_decode(q, k, v, n_valid, read_ctx=256, block_s=128,
+                       interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-4)
 
