@@ -33,6 +33,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="repeat the measured section; report the median "
+                         "(tunnel variance is +-20%%)")
     ap.add_argument("--max-frames", type=int, default=400)
     ap.add_argument("--temperature", type=float, default=0.9)
     args = ap.parse_args()
@@ -105,34 +108,65 @@ def main() -> None:
     gen_s = time.monotonic() - t0
     frames = args.chunks * CHUNK
     gen_ms_per_batchframe = gen_s * 1e3 / frames
-    log(f"generation: {frames} frames x {B} streams in {gen_s:.2f}s -> "
-        f"{gen_ms_per_batchframe:.2f} ms/frame (batch), "
+    log(f"generation alone: {frames} frames x {B} streams in {gen_s:.2f}s "
+        f"-> {gen_ms_per_batchframe:.2f} ms/frame (batch), "
         f"{gen_ms_per_batchframe/B:.3f} ms/frame/stream")
 
-    # vocoder: batched 40-frame chunk decode at full scale
+    # vocoder: batched 40-frame chunk decode at full scale (causal trim =
+    # the streaming TRT-parity path, exactly CHUNK*1920 samples)
     vcfg = VocoderConfig()
     vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
     vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
     vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
     t0 = time.monotonic()
-    audio = vocoder.vocoder_decode(vw, vcfg, vcodes)
+    audio = vocoder.vocoder_decode(vw, vcfg, vcodes, trim="causal")
     sync(audio)
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     n_voc = 8
     for _ in range(n_voc):
-        audio = vocoder.vocoder_decode(vw, vcfg, vcodes)
+        audio = vocoder.vocoder_decode(vw, vcfg, vcodes, trim="causal")
     sync(audio)
     voc_s = time.monotonic() - t0
     voc_ms_per_batchframe = voc_s * 1e3 / (n_voc * CHUNK)
-    log(f"vocoder: {voc_ms_per_batchframe:.2f} ms/frame (batch of {B}), "
-        f"{voc_ms_per_batchframe/B:.3f} ms/frame/stream")
+    log(f"vocoder alone: {voc_ms_per_batchframe:.2f} ms/frame "
+        f"(batch of {B}), {voc_ms_per_batchframe/B:.3f} ms/frame/stream")
 
-    total_ms_per_batchframe = gen_ms_per_batchframe + voc_ms_per_batchframe
+    # --- headline: the PIPELINED serving loop (runtime.pipeline's
+    # schedule) — generation chunk k+1 is dispatched before chunk k's
+    # codes are host-read and vocoder-decoded, so the device queue runs
+    # gen k+1 | voc k back-to-back with no host-turnaround bubble.
+    def pipelined_run(state):
+        t0 = time.monotonic()
+        state, codes_d, _ = run_chunk(state)
+        for _ in range(args.chunks):
+            state, codes_next, _ = run_chunk(state)      # enqueue gen k+1
+            codes_h = np.asarray(codes_d)                # read chunk k
+            audio = vocoder.vocoder_decode(vw, vcfg, vcodes,
+                                           trim="causal")  # voc chunk k
+            codes_d = codes_next
+        np.asarray(codes_d)
+        sync(audio)
+        return time.monotonic() - t0, state
+
+    _, state = pipelined_run(state)  # warm (donation consumes the input)
+    totals = []
+    for r in range(args.runs):
+        dt, state = pipelined_run(state)
+        totals.append(dt * 1e3 / ((args.chunks + 1) * CHUNK))
+    total_ms_per_batchframe = sorted(totals)[len(totals) // 2]
+    log(f"pipelined e2e: {['%.2f' % t for t in totals]} ms/frame over "
+        f"{args.runs} runs -> median {total_ms_per_batchframe:.2f}")
+
     per_stream = total_ms_per_batchframe / B
     rtf = per_stream / FRAME_BUDGET_MS
     realtime_ok = total_ms_per_batchframe <= FRAME_BUDGET_MS
+    overlap = (gen_ms_per_batchframe + voc_ms_per_batchframe
+               - total_ms_per_batchframe)
     log(f"TOTAL: {total_ms_per_batchframe:.2f} ms/frame for {B} streams "
+        f"(gen {gen_ms_per_batchframe:.1f} + voc {voc_ms_per_batchframe:.1f}"
+        f" = {gen_ms_per_batchframe+voc_ms_per_batchframe:.1f} serial; "
+        f"pipelining recovers {overlap:.1f}) "
         f"(budget {FRAME_BUDGET_MS:.0f} ms) -> per-stream RTF {rtf:.4f}; "
         f"{B} realtime streams {'OK' if realtime_ok else 'NOT met'}")
 
