@@ -32,7 +32,8 @@ def get_decode_attention_impl() -> str:
     return _IMPL
 
 
-def _resolve(k: jax.Array | None = None) -> str:
+def _resolve(k: jax.Array | None = None,
+             read_ctx: int | None = None) -> str:
     if _IMPL != "auto":
         return _IMPL
     if jax.default_backend() != "tpu":
@@ -45,11 +46,12 @@ def _resolve(k: jax.Array | None = None) -> str:
         if D % 128 != 0 or (n_kv * D) % 128 != 0:
             return "xla"
         # Measured crossover on v5e (tools/bench_attention.py, NOTES.md):
-        # XLA's fused einsum runs at the HBM roofline for short caches;
-        # the kernel's block-schedule read savings win once the allocated
-        # context is long (serving ring ctx is 1152 at default
-        # max_frames=1024). Below that, reading everything is faster.
-        if k.shape[1] < 1024:
+        # XLA's fused einsum runs at the HBM roofline for short read
+        # windows; the kernel's block-schedule read savings win once the
+        # effective window is long (serving ring ctx reaches 1152 at
+        # default max_frames=1024). Below, reading everything is faster.
+        window = min(read_ctx or k.shape[1], k.shape[1])
+        if window < 1024:
             return "xla"
     return "flash"
 
@@ -61,7 +63,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q: [B, n_heads, D]; k, v: [B, S, n_kv, D] full padded cache;
     n_valid: [B]; read_ctx (static) bounds any stream's valid length."""
-    impl = _resolve(k)
+    impl = _resolve(k, read_ctx)
     if impl in ("flash", "flash_interpret"):
         try:
             return flash_decode(q, k, v, n_valid, read_ctx=read_ctx,
@@ -86,7 +88,7 @@ def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
     valid_mask: [B, S]; optional per-stream ring window [lo, hi) +
     prefill_len lets the flash kernel fetch only the blocks a stream's
     lifetime can have touched."""
-    impl = _resolve(k)
+    impl = _resolve(k, read_ctx)
     if impl in ("flash", "flash_interpret"):
         try:
             return flash_decode_masked(
