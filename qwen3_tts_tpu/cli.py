@@ -171,8 +171,6 @@ def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
 
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
-    _err(f"\nServer ready (continuous, {n_slots} slots). "
-         "Send: text<TAB>output.wav  (or 'quit' to exit)")
 
     requests: "queue.Queue[tuple[str, str] | None]" = queue.Queue()
 
@@ -194,6 +192,11 @@ def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
 
     cb = ContinuousBatcher(tts, n_slots=n_slots, params=params,
                            max_frames=max_frames)
+    # precompile the serving executables before accepting traffic
+    # (warmup_cublas analogue; no request pays a compile stall)
+    cb.warmup()
+    _err(f"\nServer ready (continuous, {n_slots} slots). "
+         "Send: text<TAB>output.wav  (or 'quit' to exit)")
     outputs: dict[int, str] = {}
     eof = False
     while not eof or cb.pending():

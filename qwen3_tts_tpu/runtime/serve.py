@@ -65,27 +65,88 @@ class ContinuousBatcher:
         self._next_id = 0
         self._results: dict[int, TTSResult] = {}
 
-        # bootstrap state with a dummy prefill; all slots parked (done)
-        dummy_tokens = jnp.zeros((n_slots, 16), jnp.int32)
-        lens = jnp.full((n_slots,), 16, jnp.int32)
-        spk = jnp.zeros((n_slots, cfg.hidden_size), jnp.float32)
-        prefill = talker.build_prefill_inputs(
-            engine.talker_w, cfg, dummy_tokens, lens, spk)
-        prefill = prefill._replace(
-            trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
         # ring-slot cache: prefill region + ring sized for max_frames.
         # QWEN3_TTS_RING=0 falls back to per-stream scatter writes.
         ring_env = os.environ.get("QWEN3_TTS_RING", "1")
         self.use_ring = ring_env != "0"
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
+        self._reset_state()
+
+    def _reset_state(self) -> None:
+        """(Re)build the device state: dummy prefill, all slots parked."""
+        cfg = self.cfg
+        n_slots = self.n_slots
+        dummy_tokens = jnp.zeros((n_slots, 16), jnp.int32)
+        lens = jnp.full((n_slots,), 16, jnp.int32)
+        spk = jnp.zeros((n_slots, cfg.hidden_size), jnp.float32)
+        prefill = talker.build_prefill_inputs(
+            self.engine.talker_w, cfg, dummy_tokens, lens, spk)
+        prefill = prefill._replace(
+            trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
         self._steps_done = 0
         self._inflight = None  # (codes, valid) of the enqueued gen chunk
         seed = self.params.seed if self.params.seed is not None else 0
-        self.state = init_state(engine.talker_w, cfg, prefill, self.ctx,
-                                jax.random.PRNGKey(seed),
+        self.state = init_state(self.engine.talker_w, cfg, prefill,
+                                self.ctx, jax.random.PRNGKey(seed),
                                 active=jnp.zeros((n_slots,), bool))
         self.consts = make_consts(prefill, self.params.temperature,
                                   self.params.repetition_penalty)
+
+    def warmup(self) -> None:
+        """Precompile every executable the serving loop can hit, so no
+        request pays a compile stall: the generation chunk at each
+        read-ctx bucket, slot admission, and the vocoder at each decode
+        bucket. The TPU analogue of the reference's warmup_cublas +
+        prebuilt engines (trt_code_predictor.cpp:272-292). Through the
+        remote-compile tunnel each of these costs 20-70 s the first time
+        (persistently cached across processes afterwards)."""
+        t0 = time.monotonic()
+        # admission path
+        tok = jnp.zeros((1, 16), jnp.int32)
+        tlen = jnp.full((1,), 16, jnp.int32)
+        spk1 = jnp.zeros((1, self.cfg.hidden_size), jnp.float32)
+        pf = talker.build_prefill_inputs(self.engine.talker_w, self.cfg,
+                                         tok, tlen, spk1)
+        pf = pf._replace(trailing_hidden=self._pad_trailing(
+            pf.trailing_hidden))
+        self.state, self.consts = admit_slot(
+            self.engine.talker_w, self.cfg, self.state, self.consts,
+            jnp.int32(0), pf)
+        self.state = park_slot(self.state, jnp.int32(0))
+
+        # generation at every read-ctx bucket coverage can reach
+        buckets: list[int] = []
+        steps = 0
+        while True:
+            covered = RING_PREFILL_SLOTS + steps + CHUNK_FRAMES
+            rc = ctx_bucket(min(covered, self.ctx), 0, self.ctx)
+            if not buckets or rc != buckets[-1]:
+                buckets.append(rc)
+            if rc >= self.ctx:
+                break
+            steps += CHUNK_FRAMES
+        for rc in buckets:
+            self.state, _, _ = generate_chunk(
+                self.engine.talker_w, self.cfg, self.state, self.consts,
+                self.params.top_k, CHUNK_FRAMES,
+                greedy=self.params.temperature <= 0.0, read_ctx=rc,
+                ring=self.use_ring)
+
+        # vocoder at every decode-batch bucket
+        if self.engine.voc_w is not None:
+            n_cb = self.cfg.n_codebooks
+            sizes = sorted({self.engine.voc_bucket(n, self.n_slots)
+                            for n in range(1, self.n_slots + 1)})
+            for nb in sizes:
+                self.engine._decode_chunk_batch(
+                    np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32))
+
+        # warm chunks advanced the ring; restore a pristine state
+        self._reset_state()
+        import sys
+        print(f"  Serving warmup: {len(buckets)} gen bucket(s) + "
+              f"vocoder buckets compiled in {time.monotonic()-t0:.1f} s",
+              file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------------
     def _ensure_trailing_capacity(self, n_rows: int) -> None:

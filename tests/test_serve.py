@@ -122,6 +122,21 @@ def test_long_text_matches_standalone(engine):
     np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
 
 
+def test_warmup_then_serve(engine):
+    """warmup() precompiles the serving executables and must leave a
+    pristine state: results afterwards match a non-warmed batcher."""
+    base = engine.synthesize(
+        "hello world.", TTSParams(max_audio_tokens=8, temperature=0.0,
+                                  print_timing=False, seed=0))
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=8)
+    cb.warmup()
+    assert not cb.pending()
+    rid = cb.submit("hello world.")
+    res = cb.run_all()[rid]
+    assert res.n_frames == base.n_frames
+    np.testing.assert_allclose(res.audio, base.audio, atol=1e-3)
+
+
 def test_streaming_callback(engine):
     got = []
     cb = ContinuousBatcher(engine, n_slots=1, params=_params(), max_frames=6)

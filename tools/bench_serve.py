@@ -74,11 +74,13 @@ def main():
     cb = ContinuousBatcher(engine, n_slots=args.slots, params=params,
                            max_frames=args.frames)
 
-    # warm up compiles with one request
-    rid = cb.submit("warmup")
+    # precompile every serving executable (gen buckets, admission,
+    # vocoder buckets) so the measured load pays zero compile stalls
     t0 = time.monotonic()
+    cb.warmup()
+    rid = cb.submit("warmup")
     cb.run_all()
-    log(f"warmup request (compiles): {time.monotonic()-t0:.1f}s")
+    log(f"warmup (compiles): {time.monotonic()-t0:.1f}s")
 
     for i in range(args.requests):
         cb.submit(f"request number {i}")
