@@ -368,10 +368,10 @@ def vocoder_output_length(w, cfg: VocoderConfig, n_frames: int,
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("cfg", "trim"))
+@_partial(jax.jit, static_argnames=("cfg", "trim", "pcm16"))
 def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array,
-                   trim: str = "both") -> jax.Array:
-    """Decode codes [B, F, n_codebooks] int32 -> audio f32.
+                   trim: str = "both", pcm16: bool = False) -> jax.Array:
+    """Decode codes [B, F, n_codebooks] int32 -> audio f32 (or int16 PCM).
 
     trim="both": full-sequence GGML-path behavior
     (audio_tokenizer_decoder.cpp:804-879); output is
@@ -380,6 +380,9 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array,
     trim="causal": TRT-path sample arithmetic — exactly F *
     samples_per_frame samples (trt_vocoder.cpp:151-166); used by the
     streaming 40-frame chunked path in runtime.pipeline.
+    pcm16=True: quantize to int16 PCM ON DEVICE (the 16-bit WAV payload
+    the pipeline ultimately writes) — halves device->host bytes, which
+    dominates serving on hosts with a thin transfer link.
     """
     B, F, _ = codes.shape
     x = vq_dequantize(w, cfg, codes)                        # [B, F, 512]
@@ -408,7 +411,11 @@ def vocoder_decode(w, cfg: VocoderConfig, codes: jax.Array,
 
     x = snake(x, w["dec5_a"], w["dec5_b"])
     x = causal_conv1d(x, w["dec6_w"], w["dec6_b"])          # [B, T, 1]
-    return jnp.tanh(x[..., 0])
+    audio = jnp.tanh(x[..., 0])
+    if pcm16:
+        return jnp.clip(jnp.round(audio * 32767.0),
+                        -32768, 32767).astype(jnp.int16)
+    return audio
 
 
 def cast_weights(w, dtype=jnp.bfloat16):

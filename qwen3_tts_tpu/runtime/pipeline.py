@@ -376,9 +376,7 @@ class Qwen3TTS:
                 continue
             if p.streaming_vocoder:
                 self._flush_streaming(b, frames, audio_parts, on_chunk)
-                results[b].audio = (np.concatenate(audio_parts[b])
-                                    if audio_parts[b] else
-                                    np.zeros(0, np.float32))
+                results[b].audio = self._pcm_parts_to_f32(audio_parts[b])
             else:
                 results[b].audio = self.decode_codes(fr)
             results[b].sample_rate = self.voc_cfg.sample_rate
@@ -450,22 +448,45 @@ class Qwen3TTS:
                 return b
         return cap
 
-    def _decode_chunk_batch(self, codes: np.ndarray) -> np.ndarray:
+    def _decode_chunk_batch(self, codes: np.ndarray,
+                            pcm16: bool = False):
         """[n, CHUNK, 16] -> [n, CHUNK*1920] (causal/TRT sample
         arithmetic); split into sub-batches of VOC_MAX_BATCH to bound
-        activation memory."""
+        activation memory.
+
+        pcm16=True (serving fast path): returns a DEVICE int16 array —
+        the host readback is deferred until the audio is consumed, so
+        the device->host transfer overlaps subsequent device compute
+        and moves half the bytes (int16 is the WAV payload anyway)."""
         n = len(codes)
         if n <= self.VOC_MAX_BATCH:
-            return np.asarray(vocoder.vocoder_decode(
+            out = vocoder.vocoder_decode(
                 self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
-                trim="causal"))
-        parts = [self._decode_chunk_batch(codes[i:i + self.VOC_MAX_BATCH])
+                trim="causal", pcm16=pcm16)
+            return out if pcm16 else np.asarray(out)
+        parts = [self._decode_chunk_batch(codes[i:i + self.VOC_MAX_BATCH],
+                                          pcm16)
                  for i in range(0, n, self.VOC_MAX_BATCH)]
-        return np.concatenate(parts, axis=0)
+        return (jnp.concatenate(parts, axis=0) if pcm16
+                else np.concatenate(parts, axis=0))
+
+    @staticmethod
+    def _pcm_parts_to_f32(parts) -> np.ndarray:
+        """Deferred readback: device int16 chunk slices -> one host f32
+        waveform (value = i / 32767, inverting vocoder_decode's pcm16)."""
+        if not parts:
+            return np.zeros(0, np.float32)
+        return np.concatenate(
+            [np.asarray(p) for p in parts]).astype(np.float32) / 32767.0
+
+    @staticmethod
+    def _pcm_to_f32(part) -> np.ndarray:
+        return np.asarray(part).astype(np.float32) / 32767.0
 
     def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
         """Decode every stream that has accumulated a full 40-frame chunk,
-        batched across streams (one [n, 40] vocoder call per wave)."""
+        batched across streams (one [n, 40] vocoder call per wave).
+        Audio stays on-device as int16 slices until consumed."""
         n_cb = self.talker_cfg.n_codebooks
         while True:
             ready: list[tuple[int, np.ndarray]] = []
@@ -481,11 +502,11 @@ class Qwen3TTS:
             batch = np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, part) in enumerate(ready):
                 batch[i] = part
-            audio = self._decode_chunk_batch(batch)
+            audio = self._decode_chunk_batch(batch, pcm16=True)
             for i, (b, _) in enumerate(ready):
                 audio_parts[b].append(audio[i])
                 if on_chunk:
-                    on_chunk(b, audio[i])
+                    on_chunk(b, self._pcm_to_f32(audio[i]))
 
     def _flush_streaming(self, b, frames, audio_parts, on_chunk) -> None:
         """Decode the ragged tail (< 40 frames) of stream b, zero-padded to
@@ -501,9 +522,9 @@ class Qwen3TTS:
             nb = self.voc_bucket(1, len(frames))
             batch = np.zeros((nb, CHUNK_FRAMES, full.shape[1]), np.int32)
             batch[0, :k] = part
-            audio = self._decode_chunk_batch(batch)
+            audio = self._decode_chunk_batch(batch, pcm16=True)
             valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg,
                                                   k, trim="causal")
             audio_parts[b].append(audio[0, :valid])
             if on_chunk:
-                on_chunk(b, audio[0, :valid])
+                on_chunk(b, self._pcm_to_f32(audio[0, :valid]))

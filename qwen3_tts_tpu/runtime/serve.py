@@ -329,7 +329,9 @@ class ContinuousBatcher:
             batch = np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, chunk, _, _) in enumerate(work):
                 batch[i] = chunk
-            audio = self.engine._decode_chunk_batch(batch)
+            # device-resident int16 PCM; host readback deferred to
+            # _finalize so the transfer overlaps later device compute
+            audio = self.engine._decode_chunk_batch(batch, pcm16=True)
             for i, (slot, _, k, is_tail) in enumerate(work):
                 out = audio[i]
                 if k < CHUNK_FRAMES:
@@ -338,13 +340,12 @@ class ContinuousBatcher:
                         trim="causal")]
                 slot.audio.append(out)
                 if slot.on_audio:
-                    slot.on_audio(out, is_tail)
+                    slot.on_audio(Qwen3TTS._pcm_to_f32(out), is_tail)
 
     def _finalize(self, slot: _Slot) -> TTSResult:
         r = TTSResult()
         r.n_frames = sum(len(f) for f in slot.frames)
-        r.audio = (np.concatenate(slot.audio)
-                   if slot.audio else np.zeros(0, np.float32))
+        r.audio = Qwen3TTS._pcm_parts_to_f32(slot.audio)
         r.sample_rate = (self.engine.voc_cfg.sample_rate
                          if self.engine.voc_cfg else 24000)
         r.success = r.n_frames > 0
