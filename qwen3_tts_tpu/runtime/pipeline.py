@@ -33,6 +33,24 @@ from .generate import (ctx_bucket, generate_chunk, init_state, make_consts,
 CHUNK_FRAMES = 40  # streaming vocoder interval (qwen3_tts.cpp:463)
 
 
+class PCMRef:
+    """A row of a batch audio readback that is still in flight: holds the
+    Future of the WHOLE [nb, T] int16 host array plus this stream's row
+    and valid-sample count. One transfer serves every stream in the
+    batch; consumers resolve lazily."""
+
+    __slots__ = ("fut", "row", "valid")
+
+    def __init__(self, fut, row: int, valid: int | None = None):
+        self.fut = fut
+        self.row = row
+        self.valid = valid
+
+    def resolve(self) -> np.ndarray:
+        arr = self.fut.result()[self.row]
+        return arr[:self.valid] if self.valid is not None else arr
+
+
 @dataclass
 class TTSParams:
     """Generation parameters (tts_params, qwen3_tts.h:18-43)."""
@@ -470,18 +488,37 @@ class Qwen3TTS:
         return (jnp.concatenate(parts, axis=0) if pcm16
                 else np.concatenate(parts, axis=0))
 
+    @property
+    def _readback_pool(self):
+        """One background thread for device->host audio transfers: the
+        dispatch thread never blocks on them, so transfers overlap device
+        compute (critical when the host link is thin)."""
+        pool = getattr(self, "_rb_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._rb_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="audio-readback")
+        return pool
+
+    def readback_submit(self, dev_audio):
+        """Schedule ONE whole-batch [nb, T] int16 transfer; returns a
+        Future of the host array."""
+        return self._readback_pool.submit(np.asarray, dev_audio)
+
     @staticmethod
     def _pcm_parts_to_f32(parts) -> np.ndarray:
-        """Deferred readback: device int16 chunk slices -> one host f32
-        waveform (value = i / 32767, inverting vocoder_decode's pcm16)."""
+        """Resolve deferred chunk readbacks -> one host f32 waveform
+        (value = i / 32767, inverting vocoder_decode's pcm16)."""
         if not parts:
             return np.zeros(0, np.float32)
-        return np.concatenate(
-            [np.asarray(p) for p in parts]).astype(np.float32) / 32767.0
+        rows = [p.resolve() if isinstance(p, PCMRef) else np.asarray(p)
+                for p in parts]
+        return np.concatenate(rows).astype(np.float32) / 32767.0
 
     @staticmethod
     def _pcm_to_f32(part) -> np.ndarray:
-        return np.asarray(part).astype(np.float32) / 32767.0
+        part = part.resolve() if isinstance(part, PCMRef) else np.asarray(part)
+        return part.astype(np.float32) / 32767.0
 
     def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
         """Decode every stream that has accumulated a full 40-frame chunk,
@@ -503,10 +540,12 @@ class Qwen3TTS:
             for i, (_, part) in enumerate(ready):
                 batch[i] = part
             audio = self._decode_chunk_batch(batch, pcm16=True)
+            fut = self.readback_submit(audio)
             for i, (b, _) in enumerate(ready):
-                audio_parts[b].append(audio[i])
+                ref = PCMRef(fut, i)
+                audio_parts[b].append(ref)
                 if on_chunk:
-                    on_chunk(b, self._pcm_to_f32(audio[i]))
+                    on_chunk(b, self._pcm_to_f32(ref))
 
     def _flush_streaming(self, b, frames, audio_parts, on_chunk) -> None:
         """Decode the ragged tail (< 40 frames) of stream b, zero-padded to
@@ -525,6 +564,7 @@ class Qwen3TTS:
             audio = self._decode_chunk_batch(batch, pcm16=True)
             valid = vocoder.vocoder_output_length(self.voc_w, self.voc_cfg,
                                                   k, trim="causal")
-            audio_parts[b].append(audio[0, :valid])
+            ref = PCMRef(self.readback_submit(audio), 0, valid)
+            audio_parts[b].append(ref)
             if on_chunk:
-                on_chunk(b, self._pcm_to_f32(audio[0, :valid]))
+                on_chunk(b, self._pcm_to_f32(ref))

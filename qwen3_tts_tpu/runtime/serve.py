@@ -24,7 +24,8 @@ from ..utils.trace import profile_trace
 from .generate import (RING_PREFILL_SLOTS, admit_slot, ctx_bucket,
                        generate_chunk, init_state, make_consts, park_slot,
                        required_ctx_ring)
-from .pipeline import CHUNK_FRAMES, Qwen3TTS, TTSParams, TTSResult
+from .pipeline import (CHUNK_FRAMES, PCMRef, Qwen3TTS, TTSParams,
+                       TTSResult)
 
 
 @dataclass
@@ -329,18 +330,20 @@ class ContinuousBatcher:
             batch = np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32)
             for i, (_, chunk, _, _) in enumerate(work):
                 batch[i] = chunk
-            # device-resident int16 PCM; host readback deferred to
-            # _finalize so the transfer overlaps later device compute
+            # int16 PCM on device; ONE whole-batch transfer per decode,
+            # run on the readback thread so it overlaps device compute
             audio = self.engine._decode_chunk_batch(batch, pcm16=True)
+            fut = self.engine.readback_submit(audio)
             for i, (slot, _, k, is_tail) in enumerate(work):
-                out = audio[i]
+                valid = None
                 if k < CHUNK_FRAMES:
-                    out = out[:vocoder.vocoder_output_length(
+                    valid = vocoder.vocoder_output_length(
                         self.engine.voc_w, self.engine.voc_cfg, k,
-                        trim="causal")]
-                slot.audio.append(out)
+                        trim="causal")
+                ref = PCMRef(fut, i, valid)
+                slot.audio.append(ref)
                 if slot.on_audio:
-                    slot.on_audio(Qwen3TTS._pcm_to_f32(out), is_tail)
+                    slot.on_audio(Qwen3TTS._pcm_to_f32(ref), is_tail)
 
     def _finalize(self, slot: _Slot) -> TTSResult:
         r = TTSResult()
