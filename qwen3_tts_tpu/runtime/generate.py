@@ -230,68 +230,85 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
 
 @partial(jax.jit, static_argnames=("cfg",),
          donate_argnames=("state", "consts"))
-def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
-               slot: jax.Array, prefill: talker.PrefillInputs):
-    """Splice a new request into slot `slot` of a live serving batch.
+def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
+                slots: jax.Array, prefill: talker.PrefillInputs):
+    """Splice K new requests into slots `slots` of a live serving batch.
 
-    Runs the B=1 prefill and writes its K/V + per-slot state/consts rows
-    in place (donated buffers). The continuous-batching primitive the
-    reference's serial server (main.cpp:109-163) has no analogue of:
-    other streams keep generating between chunks while slots turn over.
+    Runs ONE batched K-row prefill and writes every request's K/V +
+    per-slot state/consts rows in place (donated buffers) — the
+    continuous-batching primitive the reference's serial server
+    (main.cpp:109-163) has no analogue of: other streams keep generating
+    between chunks while slots turn over. Batching matters because each
+    jitted dispatch costs a host round-trip: admitting a full turnover
+    one-by-one serialized K dispatches.
 
-    prefill: PrefillInputs with leading dim 1; trailing_hidden must already
-    be padded/truncated to consts.trailing_hidden.shape[1].
+    slots: [K] int32 (duplicates allowed — later entries win, so callers
+    may pad K to a fixed shape by repeating the last real admission).
+    prefill: PrefillInputs with leading dim K; trailing_hidden must
+    already be padded/truncated to consts.trailing_hidden.shape[1].
     """
     from ..models.stack import stack_prefill
+    from ..ops.layers import rms_norm
 
-    P = prefill.prefill_embd.shape[1]
+    K, P = prefill.prefill_embd.shape[:2]
     # Ring-cache invariant: admissions write prefill rows [0..P); a prefill
     # longer than the reserved region would silently corrupt the shared
     # ring (slots >= RING_PREFILL_SLOTS are rewritten every step).
     assert P <= RING_PREFILL_SLOTS, (
         f"prefill length {P} exceeds RING_PREFILL_SLOTS "
         f"{RING_PREFILL_SLOTS}; raise RING_PREFILL_SLOTS")
-    positions = jnp.arange(P, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None],
+                                 (K, P))
     y, ks, vs = stack_prefill(
         w["layers"], prefill.prefill_embd, positions,
         n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
         head_dim=cfg.head_dim, eps=cfg.rms_norm_eps, theta=cfg.rope_theta)
-    from ..ops.layers import rms_norm
     h = rms_norm(y[:, -1], w["output_norm"], cfg.rms_norm_eps)
     logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
                      preferred_element_type=jnp.float32)
 
-    kv = jnp.stack([ks, vs], axis=1).astype(state.kv_cache.dtype)  # [L,2,1,P,kv,D]
-    cache = jax.lax.dynamic_update_slice(
-        state.kv_cache, kv, (0, 0, slot, 0, 0, 0))
+    kv = jnp.stack([ks, vs], axis=1).astype(state.kv_cache.dtype)
+    cache = state.kv_cache                       # [L,2,B,S,kv,D]
+    for i in range(K):
+        # sequential scalar-slot writes: duplicates resolve last-wins
+        cache = jax.lax.dynamic_update_slice(
+            cache, kv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
 
-    expected = jnp.maximum(20, prefill.n_text_tokens[0] * 4).astype(jnp.int32)
+    expected = jnp.maximum(20, prefill.n_text_tokens * 4).astype(jnp.int32)
     S = state.valid_mask.shape[1]
+    prefix_mask = jnp.broadcast_to(jnp.arange(S) < P, (K, S))
     new_state = GenState(
         kv_cache=cache,
-        n_past=state.n_past.at[slot].set(P),
-        frame_idx=state.frame_idx.at[slot].set(0),
-        last_hidden=state.last_hidden.at[slot].set(h[0]),
-        logits=state.logits.at[slot].set(logits[0]),
-        seen_mask=state.seen_mask.at[slot].set(False),
-        done=state.done.at[slot].set(False),
+        n_past=state.n_past.at[slots].set(P),
+        frame_idx=state.frame_idx.at[slots].set(0),
+        last_hidden=state.last_hidden.at[slots].set(h),
+        logits=state.logits.at[slots].set(logits),
+        seen_mask=state.seen_mask.at[slots].set(False),
+        done=state.done.at[slots].set(False),
         key=state.key,
-        valid_mask=state.valid_mask.at[slot].set(jnp.arange(S) < P),
+        valid_mask=state.valid_mask.at[slots].set(prefix_mask),
         write_slot=state.write_slot,
-        ring_lo=state.ring_lo.at[slot].set(state.write_slot),
+        ring_lo=state.ring_lo.at[slots].set(state.write_slot),
     )
     new_consts = GenConsts(
-        trailing_hidden=consts.trailing_hidden.at[slot].set(
-            prefill.trailing_hidden[0]),
-        trailing_len=consts.trailing_len.at[slot].set(
-            prefill.trailing_len[0]),
-        tts_pad_embed=consts.tts_pad_embed.at[slot].set(
-            prefill.tts_pad_embed[0]),
-        expected_frames=consts.expected_frames.at[slot].set(expected),
+        trailing_hidden=consts.trailing_hidden.at[slots].set(
+            prefill.trailing_hidden),
+        trailing_len=consts.trailing_len.at[slots].set(
+            prefill.trailing_len),
+        tts_pad_embed=consts.tts_pad_embed.at[slots].set(
+            prefill.tts_pad_embed),
+        expected_frames=consts.expected_frames.at[slots].set(expected),
         temperature=consts.temperature,
         repetition_penalty=consts.repetition_penalty,
     )
     return new_state, new_consts
+
+
+def admit_slot(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
+               slot: jax.Array, prefill: talker.PrefillInputs):
+    """Single-request admission (K=1 wrapper around admit_slots)."""
+    return admit_slots(w, cfg, state, consts,
+                       jnp.asarray(slot, jnp.int32)[None], prefill)
 
 
 @partial(jax.jit, donate_argnames=("state",))

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..models import talker, vocoder
 from ..utils.trace import profile_trace
-from .generate import (RING_PREFILL_SLOTS, admit_slot, ctx_bucket,
+from .generate import (RING_PREFILL_SLOTS, admit_slots, ctx_bucket,
                        generate_chunk, init_state, make_consts, park_slot,
                        required_ctx_ring)
 from .pipeline import (CHUNK_FRAMES, PCMRef, Qwen3TTS, TTSParams,
@@ -102,17 +102,18 @@ class ContinuousBatcher:
         remote-compile tunnel each of these costs 20-70 s the first time
         (persistently cached across processes afterwards)."""
         t0 = time.monotonic()
-        # admission path
-        tok = jnp.zeros((1, 16), jnp.int32)
-        tlen = jnp.full((1,), 16, jnp.int32)
-        spk1 = jnp.zeros((1, self.cfg.hidden_size), jnp.float32)
+        # admission path (batched, fixed K=n_slots shape)
+        K = self.n_slots
+        tok = jnp.zeros((K, 16), jnp.int32)
+        tlen = jnp.full((K,), 16, jnp.int32)
+        spk1 = jnp.zeros((K, self.cfg.hidden_size), jnp.float32)
         pf = talker.build_prefill_inputs(self.engine.talker_w, self.cfg,
                                          tok, tlen, spk1)
         pf = pf._replace(trailing_hidden=self._pad_trailing(
             pf.trailing_hidden))
-        self.state, self.consts = admit_slot(
+        self.state, self.consts = admit_slots(
             self.engine.talker_w, self.cfg, self.state, self.consts,
-            jnp.int32(0), pf)
+            jnp.zeros((K,), jnp.int32), pf)
         self.state = park_slot(self.state, jnp.int32(0))
 
         # generation at every read-ctx bucket coverage can reach
@@ -199,30 +200,51 @@ class ContinuousBatcher:
         return bool(self._queue) or any(s.busy for s in self.slots)
 
     def _admit_pending(self) -> None:
+        """Admit every queued request that has a free slot, in ONE
+        batched admit_slots call (K padded to n_slots by repeating the
+        last real admission — each jitted dispatch costs a host round
+        trip, so per-request admissions serialized full turnovers).
+        Token arrays pad to 16-token buckets: one compile per bucket."""
         cfg = self.cfg
-        for slot_idx, slot in enumerate(self.slots):
-            if not self._queue:
-                break
-            if slot.busy:
-                continue
-            rid, text, embedding, on_audio = self._queue.pop(0)
-            tokens = self.engine.tokenizer.encode_for_tts(text)
-            tok = jnp.asarray(np.asarray(tokens, np.int32)[None])
-            tlen = jnp.asarray([len(tokens)], jnp.int32)
-            spk = (jnp.asarray(embedding, jnp.float32)[None]
-                   if embedding is not None
-                   else jnp.zeros((1, cfg.hidden_size), jnp.float32))
-            prefill = talker.build_prefill_inputs(
-                self.engine.talker_w, cfg, tok, tlen, spk,
-                language_id=jnp.full((1,), self.params.language_id,
-                                     jnp.int32))
-            self._ensure_trailing_capacity(prefill.trailing_hidden.shape[1])
-            prefill = prefill._replace(
-                trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
-            self.state, self.consts = admit_slot(
-                self.engine.talker_w, cfg, self.state, self.consts,
-                jnp.int32(slot_idx), prefill)
-            self.slots[slot_idx] = _Slot(
+        free = [i for i, s in enumerate(self.slots) if not s.busy]
+        take = min(len(free), len(self._queue))
+        if take == 0:
+            return
+        batch = [self._queue.pop(0) for _ in range(take)]
+        slot_ids = free[:take]
+        token_lists = [self.engine.tokenizer.encode_for_tts(text)
+                       for _, text, _, _ in batch]
+
+        K = self.n_slots
+        t_max = max(len(t) for t in token_lists)
+        t_max = max(-(-t_max // 16) * 16, 16)
+        tokens = np.zeros((K, t_max), np.int32)
+        lens = np.zeros((K,), np.int32)
+        spk = np.zeros((K, cfg.hidden_size), np.float32)
+        slots_arr = np.zeros((K,), np.int32)
+        for j in range(K):
+            src = min(j, take - 1)       # pad rows duplicate the last one
+            toks = token_lists[src]
+            tokens[j, :len(toks)] = toks
+            lens[j] = len(toks)
+            emb = batch[src][2]
+            if emb is not None:
+                spk[j] = np.asarray(emb, np.float32)
+            slots_arr[j] = slot_ids[src]
+
+        prefill = talker.build_prefill_inputs(
+            self.engine.talker_w, cfg, jnp.asarray(tokens),
+            jnp.asarray(lens), jnp.asarray(spk),
+            language_id=jnp.full((K,), self.params.language_id, jnp.int32))
+        self._ensure_trailing_capacity(prefill.trailing_hidden.shape[1])
+        prefill = prefill._replace(
+            trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
+        self.state, self.consts = admit_slots(
+            self.engine.talker_w, cfg, self.state, self.consts,
+            jnp.asarray(slots_arr), prefill)
+        for j in range(take):
+            rid, _, _, on_audio = batch[j]
+            self.slots[slot_ids[j]] = _Slot(
                 busy=True, request_id=rid, max_frames=self.max_frames,
                 t_start=time.monotonic(), on_audio=on_audio)
 
