@@ -67,7 +67,7 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
         eps=cfg.rms_norm_eps, theta=cfg.rope_theta)
 
     kv_cache = jnp.zeros(
-        (cfg.code_pred_layers, 2, B, ctx, cfg.code_pred_n_kv_heads,
+        (cfg.code_pred_layers, 2, B, cfg.code_pred_n_kv_heads, ctx,
          cfg.code_pred_head_dim), jnp.bfloat16)
     kv_cache = write_prefill_to_cache(kv_cache, ks, vs, 0)
 

@@ -9,9 +9,13 @@ Layer recipe (tts_transformer.cpp:1266-1356):
   causal GQA attention -> o_proj -> +residual ->
   RMSNorm -> SwiGLU -> +residual
 
-KV cache layout: [n_layers, 2, B, S, n_kv, D] (bf16 in HBM), the functional
+KV cache layout: [n_layers, 2, B, n_kv, S, D] (bf16 in HBM), the functional
 equivalent of the reference's F16 per-layer cache tensors
-(tts_transformer.cpp:794-842).
+(tts_transformer.cpp:794-842). The layout is kv-heads-MAJOR (n_kv before
+S): decode attention contracts q[B,kv,G,D] against k[B,kv,S,D], so this
+order lets the einsums read the cache directly. With the seq-major order
+XLA materializes a transposed copy of K and V every layer — measured
+3-6x slower per layer at serving shapes (NOTES.md round 2).
 """
 
 from __future__ import annotations
@@ -28,15 +32,18 @@ from ..ops.layers import (
 
 CACHE_DTYPE = jnp.bfloat16
 
-# Unroll factor for the over-layers scan. Measured on v5e: unroll=4 made
-# the decode step ~60% SLOWER (25.0 vs 15.6 ms/frame at B=16) — the rolled
-# loop's buffer reuse beats unrolled scheduling here. Keep 1.
+# Unroll factor for the over-layers scan in PREFILL. The decode step is a
+# fully-unrolled Python loop instead: passing the cache through scan xs/ys
+# makes XLA copy each layer's ~100 MB cache slice through the scan
+# machinery every frame (measured: 632 -> 194 us/layer at B=48 S=512 after
+# unrolling + kv-major layout). Prefill's scan carries no cache, so it
+# keeps the compact rolled form.
 LAYER_UNROLL = 1
 
 
 def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
                   head_dim: int) -> jax.Array:
-    return jnp.zeros((n_layers, 2, batch, max_ctx, n_kv, head_dim), CACHE_DTYPE)
+    return jnp.zeros((n_layers, 2, batch, n_kv, max_ctx, head_dim), CACHE_DTYPE)
 
 
 def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
@@ -116,10 +123,11 @@ def stack_prefill(layers_w, x: jax.Array, positions: jax.Array, *,
 
 def write_prefill_to_cache(kv_cache: jax.Array, ks: jax.Array, vs: jax.Array,
                            start: int = 0) -> jax.Array:
-    """Write prefill K/V ([L,B,T,kv,D]) into the cache at position `start`."""
-    kv = jnp.stack([ks, vs], axis=1)  # [L,2,B,T,kv,D]
+    """Write prefill K/V ([L,B,T,kv,D]) into the kv-major cache at `start`."""
+    kv = jnp.stack([ks, vs], axis=1)                # [L,2,B,T,kv,D]
+    kv = kv.transpose(0, 1, 2, 4, 3, 5)             # [L,2,B,kv,T,D]
     return jax.lax.dynamic_update_slice(
-        kv_cache, kv.astype(kv_cache.dtype), (0, 0, 0, start, 0, 0))
+        kv_cache, kv.astype(kv_cache.dtype), (0, 0, 0, 0, start, 0))
 
 
 def stack_step(layers_w, x: jax.Array, positions: jax.Array,
@@ -134,10 +142,16 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
-    kv_cache: [L, 2, B, S, n_kv, D]; write_idx: scalar int32 OR [B] int32
-    cache slot(s) — per-stream indices enable continuous batching where
-    each stream sits at a different depth; n_valid: [B] valid cache length
-    AFTER this token is appended.
+    kv_cache: [L, 2, B, n_kv, S, D] (kv-major); write_idx: scalar int32 OR
+    [B] int32 cache slot(s) — per-stream indices enable continuous
+    batching where each stream sits at a different depth; n_valid: [B]
+    valid cache length AFTER this token is appended.
+
+    The layer loop is a fully-unrolled Python loop with one in-place
+    dynamic-update-slice per layer into the donated full cache. Passing
+    the cache through a lax.scan's xs/ys (the previous design) made XLA
+    copy each layer's full cache slice every frame — at B=48 S=512 that
+    was ~2/3 of the whole talker step (NOTES.md round 2).
 
     read_ctx (static): attention reads only the first read_ctx cache rows
     — the caller guarantees max(n_valid) <= read_ctx. This makes attention
@@ -148,47 +162,47 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     instead of the n_valid prefix length (ring-slot cache mode, where a
     stream's valid slots are not contiguous). window_lo/window_hi +
     prefill_len optionally bound each stream's valid slots to
-    [0, prefill_len) U [lo, hi) so the flash kernel fetches only those
-    blocks (ops/flash_decode.py).
+    [0, prefill_len) U [lo, hi) so the flash kernel (when explicitly
+    selected) fetches only those blocks (ops/flash_decode.py).
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
+    L = kv_cache.shape[0]
+    B = x.shape[0]
 
-    def write(cache_l, new_kv):
-        # cache_l: [2, B, S, kv, D]; new_kv: [2, B, 1, kv, D]
-        if not per_stream:
-            return jax.lax.dynamic_update_slice(
-                cache_l, new_kv, (0, 0, write_idx, 0, 0))
-        return jax.vmap(
-            lambda c_b, kv_b, idx_b: jax.lax.dynamic_update_slice(
-                c_b, kv_b, (0, idx_b, 0, 0)),
-            in_axes=(1, 1, 0), out_axes=1)(cache_l, new_kv, write_idx)
-
-    def layer(carry, inputs):
-        x = carry
-        wl, cache_l = inputs
+    x = x.astype(jnp.float32)
+    for l in range(L):
+        wl = jax.tree.map(lambda a: a[l], layers_w)
         h = rms_norm(x, wl["attn_norm"], eps)[:, None, :]   # [B,1,H]
         q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta,
                        positions[:, None])
-        new_kv = jnp.stack([k, v], axis=0).astype(cache_l.dtype)  # [2,B,1,kv,D]
-        cache_l = write(cache_l, new_kv)
+        # k, v: [B, 1, kv, D] -> cache rows [B, kv, D]
+        k_row = k[:, 0].astype(kv_cache.dtype)
+        v_row = v[:, 0].astype(kv_cache.dtype)
+        if per_stream:
+            # scatter: each stream writes its own slot (legacy
+            # non-lockstep path; production uses scalar slots)
+            bidx = jnp.arange(B)
+            kv_cache = kv_cache.at[l, 0, bidx, :, write_idx].set(k_row)
+            kv_cache = kv_cache.at[l, 1, bidx, :, write_idx].set(v_row)
+        else:
+            new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
+            kv_cache = jax.lax.dynamic_update_slice(
+                kv_cache, new_kv, (l, 0, 0, 0, write_idx, 0))
+        k_l = kv_cache[l, 0]                                # [B, kv, S, D]
+        v_l = kv_cache[l, 1]
         if valid_mask is not None:
             attn = decode_attention_masked(
-                q[:, 0].astype(CACHE_DTYPE), cache_l[0], cache_l[1],
+                q[:, 0].astype(CACHE_DTYPE), k_l, v_l,
                 valid_mask, read_ctx=read_ctx,
                 window_lo=window_lo, window_hi=window_hi,
                 prefill_len=prefill_len)
         else:
             attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
-                                    cache_l[0], cache_l[1], n_valid,
+                                    k_l, v_l, n_valid,
                                     read_ctx=read_ctx)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn
         x = x + _ffn(wl, x, eps)
-        return x, cache_l
-
-    x = x.astype(jnp.float32)
-    y, new_cache = jax.lax.scan(layer, x, (layers_w, kv_cache),
-                                unroll=LAYER_UNROLL)
-    return y, new_cache
+    return x, kv_cache

@@ -152,7 +152,7 @@ def talker_prefill(w, cfg: TalkerConfig, prefill_embd: jax.Array,
                    kv_cache: jax.Array):
     """Batched prefill from an empty cache.
 
-    prefill_embd: [B, P, hidden]; kv_cache: [L,2,B,S,kv,D] (zeros).
+    prefill_embd: [B, P, hidden]; kv_cache: [L,2,B,kv,S,D] (zeros, kv-major).
     Returns (last_hidden [B,H] f32, last_logits [B,codec_vocab] f32,
     new_kv_cache). Only the last position's hidden/logits are returned —
     that is all generate() consumes (tts_transformer.cpp:1893-1912).

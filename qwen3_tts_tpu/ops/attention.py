@@ -1,12 +1,17 @@
-"""Decode-attention dispatcher: Pallas flash-decode on TPU, XLA fallback.
+"""Decode-attention dispatcher over the kv-heads-major cache layout.
 
 Mirrors the reference's backend-dispatch idea (GGML flash-attn vs masked
-softmax) but as a process-level switch; "auto" picks the Pallas kernel on
-TPU and the XLA einsum path elsewhere.
+softmax, tts_transformer.cpp:2164-2183) but as a process-level switch.
 
-Both entry points take the FULL padded cache [B, S, n_kv, D]: the flash
-kernel bounds its HBM reads with a block schedule (no slice copy), the
-XLA path slices to read_ctx (fused by XLA).
+Production default is the XLA einsum on the kv-major cache
+([B, n_kv, S, D]): measured on v5e (round 2, NOTES.md), reading the cache
+in einsum order with no transpose runs at 194 us/layer (B=48, S=512) and
+355 us/layer (B=48, S=1152 masked) — 3-6x faster than the seq-major
+layout and 4x faster than the Pallas flash-decode kernel at the same
+shapes. The flash kernel (ops/flash_decode.py) reads the seq-major layout
+and is kept as an explicitly-selectable implementation (it pays a
+transpose at this boundary), for A/B measurement and as a fallback design
+point for much longer contexts than this model ever reaches.
 """
 
 from __future__ import annotations
@@ -15,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .flash_decode import flash_decode, flash_decode_masked
-from .layers import gqa_attention_step, gqa_attention_step_masked
+from .layers import gqa_attention_step_kvmajor
 
 _IMPL = "auto"
 _VALID = ("auto", "flash", "flash_interpret", "xla")
@@ -32,28 +37,17 @@ def get_decode_attention_impl() -> str:
     return _IMPL
 
 
-def _resolve(k: jax.Array | None = None,
-             read_ctx: int | None = None) -> str:
-    if _IMPL != "auto":
-        return _IMPL
-    if jax.default_backend() != "tpu":
-        return "xla"
-    if k is not None:
-        # Mosaic-friendliness: the kernel slices [*, n_kv*D] lanes per
-        # head at 128 alignment and DMAs [block, n_kv*D] slabs; tiny test
-        # configs (D<128) would fail to compile.
-        n_kv, D = k.shape[2], k.shape[3]
-        if D % 128 != 0 or (n_kv * D) % 128 != 0:
-            return "xla"
-        # Measured crossover on v5e (tools/bench_attention.py, NOTES.md):
-        # XLA's fused einsum runs at the HBM roofline for short read
-        # windows; the kernel's block-schedule read savings win once the
-        # effective window is long (serving ring ctx reaches 1152 at
-        # default max_frames=1024). Below, reading everything is faster.
-        window = min(read_ctx or k.shape[1], k.shape[1])
-        if window < 1024:
-            return "xla"
-    return "flash"
+def _resolve() -> str:
+    # "auto" = XLA kv-major einsum everywhere: it beat the flash kernel at
+    # every serving shape once the cache went kv-major (NOTES.md round 2).
+    return "xla" if _IMPL == "auto" else _IMPL
+
+
+def _slice_window(k, v, mask, read_ctx):
+    if read_ctx is not None:
+        k, v = k[:, :, :read_ctx], v[:, :, :read_ctx]
+        mask = mask[:, :read_ctx]
+    return k, v, mask
 
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -61,20 +55,24 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      read_ctx: int | None = None) -> jax.Array:
     """Prefix-validity decode attention.
 
-    q: [B, n_heads, D]; k, v: [B, S, n_kv, D] full padded cache;
+    q: [B, n_heads, D]; k, v: [B, n_kv, S, D] full padded kv-major cache;
     n_valid: [B]; read_ctx (static) bounds any stream's valid length."""
-    impl = _resolve(k, read_ctx)
+    impl = _resolve()
     if impl in ("flash", "flash_interpret"):
         try:
-            return flash_decode(q, k, v, n_valid, read_ctx=read_ctx,
+            # kernel reads the seq-major layout; transpose at the boundary
+            ks = k.transpose(0, 2, 1, 3)
+            vs = v.transpose(0, 2, 1, 3)
+            return flash_decode(q, ks, vs, n_valid, read_ctx=read_ctx,
                                 interpret=impl == "flash_interpret")
         except Exception:
             # graceful degradation, mirroring the reference's
             # backend-fallback behavior (tts_transformer.cpp:2164-2183)
             pass
-    if read_ctx is not None:
-        k, v = k[:, :read_ctx], v[:, :read_ctx]
-    return gqa_attention_step(q, k, v, n_valid)
+    S = k.shape[2]
+    mask = jnp.arange(S)[None, :] < n_valid[:, None]
+    k, v, mask = _slice_window(k, v, mask, read_ctx)
+    return gqa_attention_step_kvmajor(q, k, v, mask)
 
 
 def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -85,20 +83,22 @@ def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
                             prefill_len: int = 0) -> jax.Array:
     """Bitmask decode attention (ring-slot cache serving).
 
-    valid_mask: [B, S]; optional per-stream ring window [lo, hi) +
-    prefill_len lets the flash kernel fetch only the blocks a stream's
-    lifetime can have touched."""
-    impl = _resolve(k, read_ctx)
+    q: [B, n_heads, D]; k, v: [B, n_kv, S, D]; valid_mask: [B, S].
+    window_lo/window_hi + prefill_len bound each stream's valid slots to
+    [0, prefill_len) U [lo, hi) — only the flash kernel exploits this
+    (block skipping); the XLA path's bandwidth is already bounded by
+    read_ctx and the bitmask costs nothing extra."""
+    impl = _resolve()
     if impl in ("flash", "flash_interpret"):
         try:
+            ks = k.transpose(0, 2, 1, 3)
+            vs = v.transpose(0, 2, 1, 3)
             return flash_decode_masked(
-                q, k, v, valid_mask, window_lo=window_lo,
+                q, ks, vs, valid_mask, window_lo=window_lo,
                 window_hi=window_hi, prefill_len=prefill_len,
                 read_ctx=read_ctx,
                 interpret=impl == "flash_interpret")
         except Exception:
             pass
-    if read_ctx is not None:
-        k, v = k[:, :read_ctx], v[:, :read_ctx]
-        valid_mask = valid_mask[:, :read_ctx]
-    return gqa_attention_step_masked(q, k, v, valid_mask)
+    k, v, valid_mask = _slice_window(k, v, valid_mask, read_ctx)
+    return gqa_attention_step_kvmajor(q, k, v, valid_mask)

@@ -102,13 +102,44 @@ def gqa_attention_step(q: jax.Array, k: jax.Array, v: jax.Array,
     return gqa_attention_step_masked(q, k, v, mask)
 
 
+def gqa_attention_step_kvmajor(q: jax.Array, k: jax.Array, v: jax.Array,
+                               mask: jax.Array) -> jax.Array:
+    """Decode attention over a kv-heads-major cache: k, v are [B, n_kv, S, D].
+
+    This is the production decode path. The cache is stored kv-heads-major
+    ([L,2,B,n_kv,S,D], models/stack.py) so the score/value einsums read it
+    DIRECTLY — with the seq-major [B,S,n_kv,D] layout XLA materializes a
+    transposed copy of both K and V every layer (~100 MB/layer at B=48
+    S=512), which measured 3-6x slower per layer (NOTES.md round-2
+    "cache layout" entry).
+
+    q: [B, n_heads, D]; mask: [B, S] bool — cache slots each stream may
+    attend (prefix masks and ring-slot bitmasks both reduce to this).
+    Returns [B, n_heads*D] f32.
+    """
+    B, n_heads, D = q.shape
+    n_kv, S = k.shape[1], k.shape[2]
+    G = n_heads // n_kv
+    scale = 1.0 / (D ** 0.5)
+
+    qh = q.reshape(B, n_kv, G, D)
+    scores = jnp.einsum("bkgd,bksd->bkgs", qh, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, n_heads * D)
+
+
 def gqa_attention_step_masked(q: jax.Array, k: jax.Array, v: jax.Array,
                               mask: jax.Array) -> jax.Array:
     """Decode attention with an explicit per-slot validity bitmask.
 
-    q: [B, n_heads, D]; k, v: [B, S, n_kv, D]; mask: [B, S] bool —
-    cache slots each stream may attend. Used by the ring-slot cache
-    (continuous batching), where a stream's valid slots are not a prefix.
+    q: [B, n_heads, D]; k, v: [B, S, n_kv, D] (seq-major layout); mask:
+    [B, S] bool — cache slots each stream may attend. Kept as the
+    reference implementation for the flash-decode kernel tests; production
+    uses gqa_attention_step_kvmajor on the kv-major cache layout.
     """
     B, n_heads, D = q.shape
     S, n_kv = k.shape[1], k.shape[2]

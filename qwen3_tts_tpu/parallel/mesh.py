@@ -136,7 +136,8 @@ def shard_talker_weights(w, mesh: Mesh, cfg=None):
 
 def shard_gen_state(state, mesh: Mesh):
     """GenState sharding: batch over dp, KV heads over tp."""
-    cache_s = _ns(mesh, None, None, "dp", None, "tp", None)
+    # kv-major cache [L, 2, B, kv, S, D]: dp on B (dim 2), tp on kv (dim 3)
+    cache_s = _ns(mesh, None, None, "dp", "tp", None, None)
     b_s = _ns(mesh, "dp")
     b2_s = _ns(mesh, "dp", None)
     rep = _ns(mesh)

@@ -40,7 +40,7 @@ RING_PREFILL_SLOTS = 16
 
 
 class GenState(NamedTuple):
-    kv_cache: jax.Array       # [L, 2, B, S, kv, D] bf16
+    kv_cache: jax.Array       # [L, 2, B, kv, S, D] bf16 (kv-major)
     n_past: jax.Array         # [B] int32 — per-stream LOGICAL position
     frame_idx: jax.Array      # [B] int32 — per-stream frames generated
     last_hidden: jax.Array    # [B, H] f32
@@ -268,7 +268,8 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                      preferred_element_type=jnp.float32)
 
     kv = jnp.stack([ks, vs], axis=1).astype(state.kv_cache.dtype)
-    cache = state.kv_cache                       # [L,2,B,S,kv,D]
+    kv = kv.transpose(0, 1, 2, 4, 3, 5)          # [L,2,K,kv,P,D] kv-major
+    cache = state.kv_cache                       # [L,2,B,kv,S,D]
     for i in range(K):
         # sequential scalar-slot writes: duplicates resolve last-wins
         cache = jax.lax.dynamic_update_slice(

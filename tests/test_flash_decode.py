@@ -137,13 +137,16 @@ def test_flash_read_ctx_bound():
 
 def test_dispatcher_switch():
     q, k, v = _mk(1, 64, 4, 2, 64, seed=4)
+    # the dispatcher takes the kv-major cache layout [B, n_kv, S, D]
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
     n_valid = jnp.asarray([33], jnp.int32)
     attention.set_decode_attention_impl("flash_interpret")
     try:
-        a = attention.decode_attention(q, k, v, n_valid)
+        a = attention.decode_attention(q, kt, vt, n_valid)
     finally:
         attention.set_decode_attention_impl("auto")
-    b = attention.decode_attention(q, k, v, n_valid)  # xla on CPU
+    b = attention.decode_attention(q, kt, vt, n_valid)  # xla einsum
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-4)
     with pytest.raises(ValueError):

@@ -27,9 +27,9 @@ def test_prefill_shapes(setup):
     h, logits, cache = talker.talker_prefill(w, cfg, x, cache)
     assert h.shape == (B, cfg.hidden_size)
     assert logits.shape == (B, cfg.codec_vocab_size)
-    assert cache.shape == (cfg.n_layers, 2, B, S, cfg.n_key_value_heads, cfg.head_dim)
-    # cache rows beyond P stay zero
-    assert jnp.all(cache[:, :, :, P:] == 0)
+    assert cache.shape == (cfg.n_layers, 2, B, cfg.n_key_value_heads, S, cfg.head_dim)
+    # cache rows beyond P stay zero (kv-major layout: S is dim 4)
+    assert jnp.all(cache[:, :, :, :, P:] == 0)
 
 
 def test_step_matches_prefill(setup):

@@ -46,7 +46,11 @@ def main():
         generate_chunk, init_state, make_consts, required_ctx)
 
     def sync(x):
-        jax.device_get(jax.tree.leaves(x)[-1])
+        # Fetch ONE element, not the whole leaf: device_get of a full KV
+        # cache (~2.8 GB at B=48) through the axon tunnel takes minutes and
+        # swamps the measurement.
+        leaf = jax.tree.leaves(x)[-1]
+        jax.device_get(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
 
     B = args.batch
     N = args.iters
@@ -81,25 +85,29 @@ def main():
     n_past = state.n_past
 
     # NOTE: each timed fn is independently jitted; state not donated so the
-    # same buffers can be reused across iterations.
-    talker_jit = jax.jit(partial(talker.talker_step, w, cfg))
+    # same buffers can be reused across iterations. Weights are passed as
+    # traced ARGUMENTS (not closed over) so they lower to HLO parameters —
+    # closing over them bakes ~1.2 GB of constants into the HLO upload,
+    # which the axon remote-compile tunnel rejects (HTTP 413).
+    talker_jit = jax.jit(lambda w_, h, kv, n: talker.talker_step(w_, cfg, h, kv, n))
     t_talker = timeit("talker_step (28L)", talker_jit,
-                      hidden, state.kv_cache, n_past)
+                      w, hidden, state.kv_cache, n_past)
 
-    cp_jit = jax.jit(partial(code_predictor.predict_codes, w, cfg,
-                             top_k=50))
-    t_cp = timeit("code_predictor (16 codes)", cp_jit, hidden, cb0,
-                  jnp.float32(0.9), key=key)
+    cp_jit = jax.jit(lambda w_, h, c, t, key: code_predictor.predict_codes(
+        w_, cfg, h, c, t, top_k=50, key=key))
+    t_cp = timeit("code_predictor (16 codes)", cp_jit, w, hidden, cb0,
+                  jnp.float32(0.9), key)
 
-    samp_jit = jax.jit(partial(sample_cb0, eos_id=cfg.codec_eos_id,
-                               suppress_start=2048, top_k=50))
+    samp_jit = jax.jit(partial(sample_cb0, top_k=50, eos_id=cfg.codec_eos_id,
+                               suppress_start=2048))
     t_s = timeit("sample_cb0", samp_jit, state.logits, state.seen_mask,
                  state.frame_idx, consts.expected_frames,
-                 jnp.float32(1.05), jnp.float32(0.9), key)
+                 jnp.float32(1.05), jnp.float32(0.9), key=key)
 
     codes16 = jnp.asarray(rng.integers(0, 2048, (B, 16)), jnp.int32)
-    emb_jit = jax.jit(partial(code_predictor.frame_step_embedding, w, cfg))
-    t_e = timeit("frame_step_embedding", emb_jit, codes16,
+    emb_jit = jax.jit(lambda w_, c, p: code_predictor.frame_step_embedding(
+        w_, cfg, c, p))
+    t_e = timeit("frame_step_embedding", emb_jit, w, codes16,
                  consts.tts_pad_embed)
 
     log(f"{'sum of stages':<28} {t_talker + t_cp + t_s + t_e:8.3f} ms/frame")
