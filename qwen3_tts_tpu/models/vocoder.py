@@ -36,6 +36,19 @@ from ..ops.layers import rms_norm, rope_neox, NEG_INF
 
 WDT = jnp.float32  # vocoder weight dtype (convs; small fraction of total cost)
 
+# Residual-chain implementation switch (mirrors
+# ops/attention.py::set_decode_attention_impl). "auto" = the fused Pallas
+# kernel on TPU where the shapes allow it, XLA chain otherwise.
+_RES_IMPL = "auto"
+_RES_VALID = ("auto", "fused", "fused_interpret", "xla")
+
+
+def set_res_chain_impl(impl: str) -> None:
+    global _RES_IMPL
+    if impl not in _RES_VALID:
+        raise ValueError(f"impl must be one of {_RES_VALID}")
+    _RES_IMPL = impl
+
 
 # ---------------------------------------------------------------------------
 # Conv primitives ([B, T, C] layout)
@@ -317,7 +330,28 @@ def _decoder_block(w, x: jax.Array, rate: int,
         else:
             x = x[:, cut:]
     x = x + w["conv_t_b"]
-    for res_w, dilation in zip(w["res"], (1, 3, 9)):
+    return _res_chain(w["res"], x)
+
+
+def _res_chain(res_list, x: jax.Array) -> jax.Array:
+    """The 3-block dilated residual chain, dispatched to the fused Pallas
+    kernel (ops/vocoder_fused.py) when selected.
+
+    "auto" currently resolves to the XLA chain: the kernel compiles and
+    matches numerically, but measured 2x SLOWER than XLA at the serving
+    shapes (68.7 vs 36.4 ms at B=48/T=6400/C=384 — tools/
+    bench_vocoder_fused.py); root-causing via ablation is in NOTES.md."""
+    impl = _RES_IMPL
+    if impl in ("fused", "fused_interpret"):
+        from ..ops.vocoder_fused import fused_residual_chain
+        try:
+            return fused_residual_chain(
+                x, res_list, interpret=impl == "fused_interpret")
+        except ValueError:
+            # shape not served (C>512 first decoder block, or no aligned
+            # tile divides T) — fall back to the XLA chain
+            pass
+    for res_w, dilation in zip(res_list, (1, 3, 9)):
         x = _residual_block(res_w, x, dilation)
     return x
 

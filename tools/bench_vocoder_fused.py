@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""A/B the fused residual-chain Pallas kernel vs the XLA chain at the
+vocoder's serving shapes (see tools/bench_vocoder_stages.py for the
+stage-level breakdown that motivated this kernel).
+
+Usage: python tools/bench_vocoder_fused.py [--batch 48] [--reps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu.models.vocoder import _residual_block
+    from qwen3_tts_tpu.ops.vocoder_fused import fused_residual_chain
+
+    B = args.batch
+    # (T, C) per decoder block's residual chain at 40-frame chunks
+    shapes = [(6400, 384), (25600, 192), (76800, 96)]
+    rng = np.random.default_rng(0)
+
+    def mk_res(c):
+        return {
+            "a1": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "b1": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "c1_w": jnp.asarray(rng.standard_normal((c, c, 7)) * 0.05,
+                                jnp.bfloat16),
+            "c1_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "a2": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "b2": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "c2_w": jnp.asarray(rng.standard_normal((c, c, 1)) * 0.05,
+                                jnp.bfloat16),
+            "c2_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        }
+
+    def xla_chain(x, res):
+        for rw, d in zip(res, (1, 3, 9)):
+            x = _residual_block(rw, x, d)
+        return x
+
+    for T, C in shapes:
+        res = [mk_res(C) for _ in range(3)]
+        x = jax.device_put(
+            jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32))
+        # ideal: chain reads+writes each row once; f32 in/out
+        sol_ms = 2 * B * T * C * 4 / 800e9 * 1e3
+        for name, fn in (("xla", xla_chain),
+                         ("fused", fused_residual_chain)):
+            f = jax.jit(lambda x, r, fn=fn: fn(x, r))
+            try:
+                out = f(x, res)
+                jax.device_get(out.ravel()[0])
+                t0 = time.monotonic()
+                for _ in range(args.reps):
+                    out = f(x, res)
+                jax.device_get(out.ravel()[0])
+                ms = (time.monotonic() - t0) / args.reps * 1e3
+                log(f"B={B} T={T:6d} C={C:4d}  {name:>6}: {ms:8.2f} ms "
+                    f"(sol {sol_ms:.1f} ms)")
+            except Exception as e:
+                log(f"B={B} T={T:6d} C={C:4d}  {name:>6}: FAILED {e!r}")
+
+
+if __name__ == "__main__":
+    main()
