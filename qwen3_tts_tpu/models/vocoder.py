@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VocoderConfig
-from ..ops.layers import rms_norm, rope_neox, NEG_INF
+from ..ops.layers import fast_sin2, rms_norm, rope_neox, NEG_INF
 
 WDT = jnp.float32  # vocoder weight dtype (convs; small fraction of total cost)
 
@@ -110,13 +110,33 @@ def conv_transpose1d(x: jax.Array, w: jax.Array, stride: int) -> jax.Array:
     return flat[:, :(T - 1) * stride + k]
 
 
+# sin^2 implementation switch: "fast" (default) is numerically
+# indistinguishable at audio scale (~1e-7, far below the bf16 weight
+# quantization already in the path; the reference itself runs this whole
+# stage in FP16 TensorRT — README.md:61-66). "exact" = jnp.sin, for A/B.
+_SIN2_IMPL = "fast"
+
+
+def set_snake_sin2_impl(impl: str) -> None:
+    global _SIN2_IMPL
+    if impl not in ("fast", "exact"):
+        raise ValueError("impl must be 'fast' or 'exact'")
+    _SIN2_IMPL = impl
+
+
+def _sin2(z: jax.Array) -> jax.Array:
+    if _SIN2_IMPL == "fast":
+        return fast_sin2(z)
+    s = jnp.sin(z)
+    return s * s
+
+
 def snake(x: jax.Array, alpha_log: jax.Array, beta_log: jax.Array) -> jax.Array:
     """Snake activation x + exp(-beta)*sin^2(exp(alpha)*x), per channel
     (apply_snake, audio_tokenizer_decoder.cpp:375-402). x: [B, T, C]."""
     a = jnp.exp(alpha_log.astype(jnp.float32))
     inv_b = jnp.exp(-beta_log.astype(jnp.float32))
-    s = jnp.sin(x * a)
-    return x + inv_b * (s * s)
+    return x + inv_b * _sin2(x.astype(jnp.float32) * a)
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,34 @@ def gqa_attention_step_masked(q: jax.Array, k: jax.Array, v: jax.Array,
     out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(vh.dtype), vh,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, n_heads * D)
+
+def fast_sin2(z: jax.Array) -> jax.Array:
+    """sin^2(z) via pi-periodic range reduction + 9th-order odd
+    polynomial; max abs error ~3.5e-7 vs sin^2 for |z| <= 1000 (f32).
+
+    sin^2 is pi-periodic and sign-free, so r = z - round(z/pi)*pi in
+    [-pi/2, pi/2] gives sin^2(z) = sin^2(r) with no sign/quadrant
+    bookkeeping. The reduction is Cody-Waite split (pi_hi exact in 13
+    bits) to keep f32 accuracy at large |z|; the polynomial is a
+    least-squares fit of sin(r)/r in r^2 on [0, pi/2]. ~13 VPU ops vs
+    ~26 for the exact sine. Used by the vocoder snake activation
+    (models/vocoder.py), whose passes over the 76,800-sample chunk tail
+    are VPU-bound on the sine (NOTES.md). Works inside Pallas kernels
+    (round/fma only).
+
+    The argument is clamped to |z| <= 3e4: beyond that the f32 reduction
+    residue is precision noise (true for the exact sine too — one f32 ulp
+    at 3e4 spans several periods), but the polynomial would overflow to
+    inf where jnp.sin stays bounded; clamping keeps the output finite for
+    arbitrary inputs (e.g. random-weight tests driving activations to
+    1e10)."""
+    pi_hi = 3.140625
+    pi_lo = 0.0009676535897932
+    z = jnp.clip(z, -3e4, 3e4)
+    n = jnp.round(z * (1.0 / 3.14159265358979))
+    r = z - n * pi_hi - n * pi_lo
+    r2 = r * r
+    s = r * (1.0 + r2 * (-0.16666662 + r2 * (0.0083331258
+                                             + r2 * (-0.00019814119
+                                                     + r2 * 2.6160287e-06))))
+    return s * s

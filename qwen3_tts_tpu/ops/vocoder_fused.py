@@ -74,6 +74,10 @@ def pack_res_weights(res_list):
 
 
 def _snake(x, a, ib):
+    from ..models import vocoder as _voc
+    from .layers import fast_sin2
+    if _voc._SIN2_IMPL == "fast":
+        return x + ib * fast_sin2(x * a)
     s = jnp.sin(x * a)
     return x + ib * (s * s)
 

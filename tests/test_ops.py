@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen3_tts_tpu.ops.layers import rms_norm, rope_neox
 
@@ -57,3 +58,32 @@ def test_rope_per_stream_positions(rng):
                                  jnp.asarray(pos[1:]), 1e4))
     np.testing.assert_allclose(got[1:], alone, atol=1e-6)
     assert not np.allclose(got[0], got[1])
+
+
+class TestFastSin2:
+    def test_matches_exact_sin2(self):
+        from qwen3_tts_tpu.ops.layers import fast_sin2
+        z = jnp.asarray(np.linspace(-300.0, 300.0, 200001), jnp.float32)
+        got = np.asarray(fast_sin2(z))
+        want = np.sin(np.asarray(z, np.float64)) ** 2
+        assert np.max(np.abs(got - want)) < 2e-6
+
+    def test_snake_fast_vs_exact(self):
+        from qwen3_tts_tpu.models.vocoder import snake, set_snake_sin2_impl
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 64, 8)) * 20, jnp.float32)
+        a = jnp.asarray(rng.standard_normal(8) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(8) * 0.3, jnp.float32)
+        try:
+            set_snake_sin2_impl("exact")
+            want = np.asarray(snake(x, a, b))
+            set_snake_sin2_impl("fast")
+            got = np.asarray(snake(x, a, b))
+        finally:
+            set_snake_sin2_impl("fast")
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_bad_impl_rejected(self):
+        from qwen3_tts_tpu.models.vocoder import set_snake_sin2_impl
+        with pytest.raises(ValueError):
+            set_snake_sin2_impl("nope")
