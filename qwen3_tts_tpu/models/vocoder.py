@@ -355,14 +355,15 @@ def _decoder_block(w, x: jax.Array, rate: int,
 
 def _res_chain(res_list, x: jax.Array) -> jax.Array:
     """The 3-block dilated residual chain, dispatched to the fused Pallas
-    kernel (ops/vocoder_fused.py) when selected.
+    kernel (ops/vocoder_fused.py) on TPU ("auto").
 
-    "auto" currently resolves to the XLA chain: the kernel compiles and
-    matches numerically, but measured 2x SLOWER than XLA at the serving
-    shapes (68.7 vs 36.4 ms at B=48/T=6400/C=384 — tools/
-    bench_vocoder_fused.py); root-causing via ablation is in NOTES.md."""
+    Measured at the 40-frame-chunk serving shapes, B=48, fast_sin2 on
+    both paths (tools/bench_vocoder_fused.py): 17.7 vs 20.4 ms (C=384),
+    38.3 vs 83.1 (C=192), 39.8 vs 108.6 (C=96) — 1.2-2.7x over the XLA
+    chain; the chain collapses from ~16 HBM passes to one."""
     impl = _RES_IMPL
-    if impl in ("fused", "fused_interpret"):
+    if impl in ("fused", "fused_interpret") or (
+            impl == "auto" and jax.default_backend() == "tpu"):
         from ..ops.vocoder_fused import fused_residual_chain
         try:
             return fused_residual_chain(

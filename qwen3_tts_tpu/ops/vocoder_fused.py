@@ -102,10 +102,14 @@ def _kernel(x_ref, *refs, tile: int, channels: int):
         halo = halos[blk]                                # [6d, C]
         ext = jnp.concatenate([halo[:], x], axis=0)      # [6d+TILE, C]
         halo[:] = ext[-6 * d:]
-        s = _snake(ext, a1[:], ib1[:]).astype(jnp.bfloat16)
+        # Keep the tap slicing in f32: slicing packed bf16 vregs at
+        # sublane offsets k*d forces expensive Mosaic relayouts (measured
+        # 2x whole-kernel slowdown at C=384); the f32 (8,128) layout
+        # keeps the offset lazy and the per-tap cast is one pack op.
+        s = _snake(ext, a1[:], ib1[:])
         w7v = w7[:]
         y = b1[:] + sum(
-            jnp.dot(s[k * d:k * d + tile],
+            jnp.dot(s[k * d:k * d + tile].astype(jnp.bfloat16),
                     w7v[k * channels:(k + 1) * channels],
                     preferred_element_type=jnp.float32)
             for k in range(7))
@@ -117,8 +121,14 @@ def _kernel(x_ref, *refs, tile: int, channels: int):
 
 
 def _pick_tile(t: int, c: int) -> int:
-    """Largest tile <= budget that divides T and is sublane-aligned."""
-    budget = max(256, min(1024, (2 << 20) // (c * 4)))   # ~2 MB f32 tile
+    """Largest tile <= budget that divides T and is sublane-aligned.
+
+    ~8 MB f32 tiles: the kernel holds ~6 tile-sized f32 intermediates in
+    VMEM (in, ext, snake, per-tap cast, accumulator, out) so this stays
+    within the raised 100 MB limit while amortizing per-program
+    overheads. Measured flat 768..19200 at C=96 (the stage is VPU-bound,
+    NOTES.md), so the exact budget is not sensitive."""
+    budget = max(256, min(20000, (8 << 20) // (c * 4)))
     best = 0
     for cand in range(8, budget + 1, 8):
         if t % cand == 0:
@@ -174,6 +184,8 @@ def fused_residual_chain(x: jax.Array, res_list, *,
         scratch_shapes=[
             pltpu.VMEM((h, C), jnp.float32) for h in _HALOS
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *params)
     return out
