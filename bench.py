@@ -118,14 +118,31 @@ def main() -> None:
     vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
     vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
     vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
+
+    # production sub-batching (runtime/pipeline.py caps decode batches at
+    # 48 to bound the 76,800-sample tail activations — [48, 76800, C] f32
+    # buffers are ~1.4 GB each; B=96 whole-batch OOMs the 16 GB chip).
+    # Past B=96 the talker KV cache (~59 MB/stream at ctx 512) crowds out
+    # even the 48-wide buffers; shrink further.
+    VOC_SUB = 48 if B <= 96 else 32
+
+    def voc_decode(codes):
+        n = codes.shape[0]
+        if n <= VOC_SUB:
+            return vocoder.vocoder_decode(vw, vcfg, codes, trim="causal")
+        return jnp.concatenate(
+            [vocoder.vocoder_decode(vw, vcfg, codes[i:i + VOC_SUB],
+                                    trim="causal")
+             for i in range(0, n, VOC_SUB)], axis=0)
+
     t0 = time.monotonic()
-    audio = vocoder.vocoder_decode(vw, vcfg, vcodes, trim="causal")
+    audio = voc_decode(vcodes)
     sync(audio)
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     n_voc = 8
     for _ in range(n_voc):
-        audio = vocoder.vocoder_decode(vw, vcfg, vcodes, trim="causal")
+        audio = voc_decode(vcodes)
     sync(audio)
     voc_s = time.monotonic() - t0
     voc_ms_per_batchframe = voc_s * 1e3 / (n_voc * CHUNK)
@@ -142,8 +159,7 @@ def main() -> None:
         for _ in range(args.chunks):
             state, codes_next, _ = run_chunk(state)      # enqueue gen k+1
             codes_h = np.asarray(codes_d)                # read chunk k
-            audio = vocoder.vocoder_decode(vw, vcfg, vcodes,
-                                           trim="causal")  # voc chunk k
+            audio = voc_decode(vcodes)                   # voc chunk k
             codes_d = codes_next
         np.asarray(codes_d)
         sync(audio)

@@ -149,7 +149,10 @@ def fused_residual_chain(x: jax.Array, res_list, *,
         raise ValueError("kernel serves exactly 3 residual blocks")
     if any(rw["c1_w"].shape[-1] != 7 for rw in res_list):
         raise ValueError("conv kernel width must be 7")
-    if C > 512:
+    if C > 768:
+        # 3 blocks x ([7C,C]+[C,C]) bf16 weights + ~6 tile-sized f32
+        # intermediates must fit the 100 MB VMEM limit; C=768 (decoder
+        # block 1) measures ~55 MB peak and is the largest served.
         raise ValueError("channel count too large for VMEM weights")
     tile = _pick_tile(T, C)
     if tile < 64:

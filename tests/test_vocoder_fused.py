@@ -63,9 +63,9 @@ def test_fused_chain_rejects_bad_shapes():
     x = jnp.zeros((1, 300, 96), jnp.float32)   # 300 has no aligned divisor
     with pytest.raises(ValueError):
         fused_residual_chain(x, res, interpret=True)
-    big = [_mk_res(rng, 768) for _ in range(3)]
+    big = [_mk_res(rng, 1024) for _ in range(3)]
     with pytest.raises(ValueError):
-        fused_residual_chain(jnp.zeros((1, 512, 768)), big, interpret=True)
+        fused_residual_chain(jnp.zeros((1, 512, 1024)), big, interpret=True)
     with pytest.raises(ValueError):
         fused_residual_chain(jnp.zeros((1, 512, 96)), res[:2],
                              interpret=True)

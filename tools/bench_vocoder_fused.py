@@ -37,7 +37,7 @@ def main():
 
     B = args.batch
     # (T, C) per decoder block's residual chain at 40-frame chunks
-    shapes = [(6400, 384), (25600, 192), (76800, 96)]
+    shapes = [(1280, 768), (6400, 384), (25600, 192), (76800, 96)]
     rng = np.random.default_rng(0)
 
     def mk_res(c):
