@@ -31,7 +31,11 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=48)
+    # B=128 is the measured sweet spot on one v5e chip: 41.6 ms/frame
+    # (median of 3) vs the 80 ms realtime budget — 128 concurrent realtime
+    # streams with 48% margin; per-stream cost is flat from B=96 to 128
+    # (~0.32 ms) and worsens at B=192 (73.3 ms, no margin).
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--runs", type=int, default=3,
                     help="repeat the measured section; report the median "
@@ -124,7 +128,7 @@ def main() -> None:
     # buffers are ~1.4 GB each; B=96 whole-batch OOMs the 16 GB chip).
     # Past B=96 the talker KV cache (~59 MB/stream at ctx 512) crowds out
     # even the 48-wide buffers; shrink further.
-    VOC_SUB = 48 if B <= 96 else 32
+    VOC_SUB = 48 if B <= 96 else (32 if B <= 128 else 16)
 
     def voc_decode(codes):
         n = codes.shape[0]

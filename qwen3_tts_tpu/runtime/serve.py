@@ -140,8 +140,14 @@ class ContinuousBatcher:
             sizes = sorted({self.engine.voc_bucket(n, self.n_slots)
                             for n in range(1, self.n_slots + 1)})
             for nb in sizes:
+                # pcm16=True is what _decode_slots calls — it is a
+                # DIFFERENT jitted graph (int16 conversion fused in);
+                # warming the f32 variant here used to leave a 30-70 s
+                # tunnel compile stall on the first decode of every
+                # bucket during live serving
                 self.engine._decode_chunk_batch(
-                    np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32))
+                    np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32),
+                    pcm16=True)
 
         # warm chunks advanced the ring; restore a pristine state
         self._reset_state()
