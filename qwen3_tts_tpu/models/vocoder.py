@@ -340,6 +340,20 @@ def _decoder_block(w, x: jax.Array, rate: int,
     T*rate, matching the reference's TRT engine whose fixed-frame chunks
     emit chunk_frames*1920 samples (trt_vocoder.cpp:151-166,
     trt_vocoder.h:50)."""
+    impl = _RES_IMPL
+    if trim == "causal" and (
+            impl in ("fused", "fused_interpret")
+            or (impl == "auto" and jax.default_backend() == "tpu")):
+        # fused head: snake+convT+trim+bias in one HBM pass
+        # (ops/vocoder_fused.py::fused_snake_convt)
+        from ..ops.vocoder_fused import fused_snake_convt
+        try:
+            x = fused_snake_convt(
+                x, w["snake_a"], w["snake_b"], w["conv_t_w"],
+                w["conv_t_b"], rate, interpret=impl == "fused_interpret")
+            return _res_chain(w["res"], x)
+        except ValueError:
+            pass
     x = snake(x, w["snake_a"], w["snake_b"])
     k = w["conv_t_w"].shape[-1]
     x = conv_transpose1d(x, w["conv_t_w"], rate)

@@ -120,6 +120,100 @@ def _kernel(x_ref, *refs, tile: int, channels: int):
     out_ref[0] = x.astype(out_ref.dtype)
 
 
+def _convt_kernel(x_ref, whi_ref, wlo_ref, b_ref, a_ref, ib_ref, out_ref,
+                  halo, *, tile: int):
+    """Snake + stride-r causal-trim convT for one tile, grid REVERSED.
+
+    With K = 2r taps, output row r*q+p = s[q] @ W[p+r] + s[q+1] @ W[p]
+    (s = snake(x)): one future input row. The grid walks tiles LAST to
+    FIRST, so the next data tile's first snake'd row was computed by the
+    previous program and sits in `halo`; the final data tile (processed
+    first) uses the zero halo — exactly conv_transpose's implicit zero
+    padding at the sequence end."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        halo[:] = jnp.zeros_like(halo)
+
+    x = x_ref[0].astype(jnp.float32)
+    s = _snake(x, a_ref[:], ib_ref[:])                 # [tile, C]
+    s_next = jnp.concatenate([s[1:], halo[:]], axis=0)
+    halo[:] = s[:1]
+    y = (jnp.dot(s.astype(jnp.bfloat16), whi_ref[:],
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(s_next.astype(jnp.bfloat16), wlo_ref[:],
+                   preferred_element_type=jnp.float32)
+         + b_ref[:])
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_snake_convt(x: jax.Array, snake_alpha_log: jax.Array,
+                      snake_beta_log: jax.Array, conv_t_w: jax.Array,
+                      conv_t_b: jax.Array, rate: int, *,
+                      interpret: bool = False) -> jax.Array:
+    """Decoder-block head: snake + convT(stride=rate, K=2*rate) with
+    causal trim (K-rate off the left) + bias, fused into one HBM pass.
+
+    x: [B, T, C]; conv_t_w: [C, C2, K] (torch ConvTranspose1d order);
+    returns [B, T*rate, C2] f32 — identical to
+    snake -> conv_transpose1d -> [:, K-rate:][: T*rate] + bias
+    (models/vocoder.py::_decoder_block head, mirroring
+    apply_decoder_block at audio_tokenizer_decoder.cpp:581-609 in its
+    TRT causal-trim variant, trt_vocoder.cpp:151-166).
+
+    Phase-major packing makes the whole convT two MXU dots per tile:
+    Whi[:, p*C2+c2] = W[:, c2, p+rate], Wlo[:, p*C2+c2] = W[:, c2, p];
+    the [tile, rate*C2] result reshapes to [tile*rate, C2] for free
+    (row-major contiguity). Raises ValueError for unserved shapes."""
+    B, T, C = x.shape
+    C2, K = conv_t_w.shape[1], conv_t_w.shape[2]
+    if K != 2 * rate:
+        raise ValueError("kernel serves K == 2*rate convT only")
+    if C > 1536 or C2 * rate > 8192:
+        raise ValueError("channel count too large for VMEM weights")
+    tile = _pick_tile(T, C)
+    if tile < 8:
+        raise ValueError(f"no usable tile for T={T}")
+
+    wf = conv_t_w.astype(jnp.float32)
+    whi = jnp.transpose(wf[:, :, rate:], (0, 2, 1)).reshape(
+        C, rate * C2).astype(jnp.bfloat16)
+    wlo = jnp.transpose(wf[:, :, :rate], (0, 2, 1)).reshape(
+        C, rate * C2).astype(jnp.bfloat16)
+    bias = jnp.tile(conv_t_b.astype(jnp.float32), rate)[None, :]
+    a = jnp.exp(snake_alpha_log.astype(jnp.float32))[None, :]
+    ib = jnp.exp(-snake_beta_log.astype(jnp.float32))[None, :]
+
+    nt = T // tile
+    rev = lambda b, t: (b, nt - 1 - t, 0)
+    out = pl.pallas_call(
+        partial(_convt_kernel, tile=tile),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, rate * C2), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, rate * C2), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rate * C2), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, rate * C2), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, rate * C2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, whi, wlo, bias, a, ib)
+    return out.reshape(B, T * rate, C2)
+
+
 def _pick_tile(t: int, c: int) -> int:
     """Largest tile <= budget that divides T and is sublane-aligned.
 

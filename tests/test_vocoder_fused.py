@@ -69,3 +69,64 @@ def test_fused_chain_rejects_bad_shapes():
     with pytest.raises(ValueError):
         fused_residual_chain(jnp.zeros((1, 512, 96)), res[:2],
                              interpret=True)
+
+
+class TestFusedSnakeConvT:
+    def _mk(self, rng, c, c2, rate):
+        return {
+            "snake_a": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "snake_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            "conv_t_w": jnp.asarray(
+                rng.standard_normal((c, c2, 2 * rate)) * 0.05, jnp.bfloat16),
+            "conv_t_b": jnp.asarray(rng.standard_normal(c2) * 0.1,
+                                    jnp.float32),
+        }
+
+    def _xla_head(self, w, x, rate):
+        from qwen3_tts_tpu.models.vocoder import (conv_transpose1d, snake)
+        k = w["conv_t_w"].shape[-1]
+        y = snake(x, w["snake_a"], w["snake_b"])
+        y = conv_transpose1d(y, w["conv_t_w"], rate)
+        cut = k - rate
+        T = x.shape[1]
+        return y[:, cut:cut + T * rate] + w["conv_t_b"]
+
+    @pytest.mark.parametrize("B,T,C,C2,rate",
+                             [(2, 64, 32, 16, 3), (1, 128, 16, 8, 4),
+                              (2, 40, 24, 12, 5), (1, 32, 16, 8, 8)])
+    def test_matches_xla_head(self, B, T, C, C2, rate):
+        from qwen3_tts_tpu.ops.vocoder_fused import fused_snake_convt
+        rng = np.random.default_rng(0)
+        w = self._mk(rng, C, C2, rate)
+        x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+        want = np.asarray(self._xla_head(w, x, rate))
+        got = np.asarray(fused_snake_convt(
+            x, w["snake_a"], w["snake_b"], w["conv_t_w"], w["conv_t_b"],
+            rate, interpret=True))
+        assert got.shape == (B, T * rate, C2)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+        denom = float(np.sqrt((want ** 2).mean()))
+        assert float(np.sqrt(((got - want) ** 2).mean())) / denom < 1e-2
+
+    def test_tile_boundary_future_row(self):
+        """The future-row halo must carry across tile boundaries (grid is
+        walked in reverse): T spanning many tiles must equal one tile."""
+        from qwen3_tts_tpu.ops.vocoder_fused import fused_snake_convt
+        rng = np.random.default_rng(1)
+        w = self._mk(rng, 64, 32, 2)
+        x = jnp.asarray(rng.standard_normal((1, 512, 64)), jnp.float32)
+        want = np.asarray(self._xla_head(w, x, 2))
+        got = np.asarray(fused_snake_convt(
+            x, w["snake_a"], w["snake_b"], w["conv_t_w"], w["conv_t_b"],
+            2, interpret=True))
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
+
+    def test_rejects_bad_shapes(self):
+        from qwen3_tts_tpu.ops.vocoder_fused import fused_snake_convt
+        rng = np.random.default_rng(2)
+        w = self._mk(rng, 16, 8, 3)
+        x = jnp.zeros((1, 64, 16), jnp.float32)
+        with pytest.raises(ValueError):   # K != 2*rate
+            fused_snake_convt(x, w["snake_a"], w["snake_b"],
+                              w["conv_t_w"][:, :, :5], w["conv_t_b"], 3,
+                              interpret=True)
