@@ -43,7 +43,7 @@ def main():
     from qwen3_tts_tpu.models.weights import init_talker_weights_device
     from qwen3_tts_tpu.ops.sampling import sample_cb0
     from qwen3_tts_tpu.runtime.generate import (
-        generate_chunk, init_state, make_consts, required_ctx)
+        ctx_bucket, generate_chunk, init_state, make_consts, required_ctx)
 
     def sync(x):
         # Fetch ONE element, not the whole leaf: device_get of a full KV
@@ -89,9 +89,26 @@ def main():
     # traced ARGUMENTS (not closed over) so they lower to HLO parameters —
     # closing over them bakes ~1.2 GB of constants into the HLO upload,
     # which the axon remote-compile tunnel rejects (HTTP 413).
-    talker_jit = jax.jit(lambda w_, h, kv, n: talker.talker_step(w_, cfg, h, kv, n))
-    t_talker = timeit("talker_step (28L)", talker_jit,
-                      w, hidden, state.kv_cache, n_past)
+    # donate the cache: without donation every call materializes a second
+    # full KV buffer (3.8 GB at B=64) — oversubscribing HBM and spilling,
+    # which once measured 340 ms/iter for a ~10 ms step
+    # production lockstep semantics: scalar write_idx + bucketed read
+    # window. Omitting write_idx selects the per-stream scatter variant,
+    # which on the kv-major layout rewrites the whole cache per layer —
+    # it measures ~340 ms/iter at B=64 and is not used by any production
+    # path (lock-step passes write_idx; ring serving passes write_slot).
+    rc = ctx_bucket(int(np.asarray(state.n_past).max()) + 1, 40, ctx)
+    talker_jit = jax.jit(
+        lambda w_, h, kv, n: talker.talker_step(
+            w_, cfg, h, kv, n, read_ctx=rc, write_idx=n[0]),
+        donate_argnums=(2,))
+    kv = state.kv_cache
+
+    def talker_call(w_, h, n):
+        nonlocal kv
+        h2, lg, kv = talker_jit(w_, h, kv, n)
+        return lg
+    t_talker = timeit("talker_step (28L)", talker_call, w, hidden, n_past)
 
     cp_jit = jax.jit(lambda w_, h, c, t, key: code_predictor.predict_codes(
         w_, cfg, h, c, t, top_k=50, key=key))
@@ -112,14 +129,21 @@ def main():
 
     log(f"{'sum of stages':<28} {t_talker + t_cp + t_s + t_e:8.3f} ms/frame")
 
-    # fused chunk for comparison (donating copy of state)
+    # fused chunk for comparison (production path: donated state,
+    # lockstep scalar write, bucketed read window — exactly bench.py's)
+    state = state._replace(kv_cache=kv)
+
+    def run_chunk(st):
+        rc = ctx_bucket(int(np.asarray(st.n_past).max()), 40, ctx)
+        return generate_chunk(w, cfg, st, consts, 50, 40,
+                              read_ctx=rc, lockstep=True)
     t0 = time.monotonic()
-    state2, codes, valid = generate_chunk(w, cfg, state, consts, 50, 40)
+    state2, codes, valid = run_chunk(state)
     sync(codes)
     log(f"fused chunk compile+run: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     for _ in range(3):
-        state2, codes, valid = generate_chunk(w, cfg, state2, consts, 50, 40)
+        state2, codes, valid = run_chunk(state2)
     sync(codes)
     log(f"{'fused chunk (per frame)':<28} "
         f"{(time.monotonic()-t0)/3/40*1e3:8.3f} ms/frame")
