@@ -31,11 +31,12 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    # B=128 is the measured sweet spot on one v5e chip: 41.6 ms/frame
-    # (median of 3) vs the 80 ms realtime budget — 128 concurrent realtime
-    # streams with 48% margin; per-stream cost is flat from B=96 to 128
-    # (~0.32 ms) and worsens at B=192 (73.3 ms, no margin).
-    ap.add_argument("--batch", type=int, default=128)
+    # B=160 is the measured sweet spot on one v5e chip: 49.6 ms/frame
+    # (median of 3) vs the 80 ms realtime budget — 160 concurrent realtime
+    # streams with 38% margin at per-stream 0.31 ms/frame (258x the
+    # reference). B=192 fits nominally (73.3 ms) but breaches the budget
+    # within run-to-run variance, so it is not the default claim.
+    ap.add_argument("--batch", type=int, default=160)
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--runs", type=int, default=3,
                     help="repeat the measured section; report the median "
