@@ -141,8 +141,19 @@ def main() -> None:
              for i in range(0, n, VOC_SUB)], axis=0)
 
     t0 = time.monotonic()
-    audio = voc_decode(vcodes)
-    sync(audio)
+    try:
+        audio = voc_decode(vcodes)
+        sync(audio)
+    except Exception as e:
+        # The axon remote-compile helpers flake (HTTP 500) on a fraction
+        # of Pallas compiles, which are not persistently cached. Fall
+        # back to the XLA vocoder path rather than losing the benchmark
+        # record (graceful degradation, same policy as ops/attention.py).
+        log(f"fused vocoder kernels failed to compile ({type(e).__name__});"
+            f" falling back to XLA chain")
+        vocoder.set_res_chain_impl("xla")
+        audio = voc_decode(vcodes)
+        sync(audio)
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s")
     t0 = time.monotonic()
     n_voc = 8
