@@ -166,6 +166,66 @@ def init_talker_weights(rng: np.random.Generator,
     }
 
 
+def init_talker_weights_fast(seed: int, cfg: TalkerConfig,
+                             scale: float = 0.02) -> dict[str, Any]:
+    """Random init at full scale, generated on the HOST in float32 and
+    device_put as one pytree transfer. Used by benchmarks: the on-device
+    jax.random variant below pays a one-off 400+ s compile of the giant
+    init program through the axon remote-compile tunnel on a cold cache
+    (BENCH_r02 recorded 463.9 s); host generation + transfer is ~10 s and
+    compiles nothing. Values differ from init_talker_weights (float32
+    draw path) — FLOPs/bytes identical, which is all benchmarks need."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+
+    def rnd(shape, dtype=MATMUL_DTYPE):
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32) * scale, dtype)
+
+    def stack(n_layers, hidden, n_heads, n_kv, head_dim, inter):
+        return {
+            "attn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+            "wqkv": rnd((n_layers, hidden, (n_heads + 2 * n_kv) * head_dim)),
+            "wo": rnd((n_layers, n_heads * head_dim, hidden)),
+            "q_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+            "k_norm": jnp.ones((n_layers, head_dim), NORM_DTYPE),
+            "ffn_norm": jnp.ones((n_layers, hidden), NORM_DTYPE),
+            "w_gu": rnd((n_layers, hidden, 2 * inter)),
+            "w_down": rnd((n_layers, inter, hidden)),
+        }
+
+    n_rest = cfg.n_codebooks - 1
+    w = {
+        "text_embd": rnd((cfg.text_vocab_size, cfg.text_embd_dim)),
+        "text_proj": {
+            "fc1_w": rnd((cfg.text_embd_dim, cfg.text_embd_dim)),
+            "fc1_b": jnp.zeros((cfg.text_embd_dim,), NORM_DTYPE),
+            "fc2_w": rnd((cfg.text_embd_dim, cfg.hidden_size)),
+            "fc2_b": jnp.zeros((cfg.hidden_size,), NORM_DTYPE),
+        },
+        "codec_embd": rnd((cfg.codec_vocab_size, cfg.hidden_size)),
+        "codec_head": rnd((cfg.hidden_size, cfg.codec_vocab_size)),
+        "output_norm": jnp.ones((cfg.hidden_size,), NORM_DTYPE),
+        "layers": stack(cfg.n_layers, cfg.hidden_size, cfg.n_attention_heads,
+                        cfg.n_key_value_heads, cfg.head_dim,
+                        cfg.intermediate_size),
+        "code_pred": {
+            "layers": stack(cfg.code_pred_layers, cfg.code_pred_hidden_size,
+                            cfg.code_pred_n_attention_heads,
+                            cfg.code_pred_n_kv_heads, cfg.code_pred_head_dim,
+                            cfg.code_pred_intermediate_size),
+            "output_norm": jnp.ones((cfg.code_pred_hidden_size,), NORM_DTYPE),
+            "embd": rnd((n_rest, cfg.code_pred_vocab_size, cfg.hidden_size)),
+            "heads": rnd((n_rest, cfg.code_pred_hidden_size,
+                          cfg.code_pred_vocab_size)),
+            "mtp_w": None,
+            "mtp_b": None,
+        },
+    }
+    return jax.device_put(w)
+
+
 def init_talker_weights_device(key, cfg: TalkerConfig,
                                scale: float = 0.02) -> dict[str, Any]:
     """Random init generated ON-DEVICE (jax.random) — used by benchmarks

@@ -37,6 +37,7 @@ class _Slot:
     max_frames: int = 0
     t_start: float = 0.0
     on_audio: Callable[[np.ndarray, bool], None] | None = None
+    error: str = ""
 
 
 class ContinuousBatcher:
@@ -65,11 +66,22 @@ class ContinuousBatcher:
                                 Callable | None]] = []
         self._next_id = 0
         self._results: dict[int, TTSResult] = {}
+        self._failed: dict[int, TTSResult] = {}
+        self._retiring: list[_Slot] = []
 
         # ring-slot cache: prefill region + ring sized for max_frames.
         # QWEN3_TTS_RING=0 falls back to per-stream scatter writes.
         ring_env = os.environ.get("QWEN3_TTS_RING", "1")
         self.use_ring = ring_env != "0"
+        if not self.use_ring:
+            import sys
+            print(
+                "WARNING: QWEN3_TTS_RING=0 selects the per-stream-scatter "
+                "KV write path, a debug/parity mode that is ~30x slower "
+                "than the ring-slot cache on the kv-major layout "
+                "(~340 ms/step at B=64 — likely sub-realtime). Use it "
+                "only to cross-check ring-mode outputs.",
+                file=sys.stderr, flush=True)
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
         self._reset_state()
 
@@ -195,11 +207,15 @@ class ContinuousBatcher:
                on_audio: Callable[[np.ndarray, bool], None] | None = None,
                ) -> int:
         """Queue a request; returns a request id. on_audio(samples, final)
-        fires per decoded chunk."""
+        fires per decoded chunk.
+
+        Submission only enqueues: every device interaction (admission,
+        generation, decode) happens inside step(), whose failure isolation
+        fails in-flight requests rather than the process — a queued
+        request can never corrupt live streams from the submit path."""
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, text, embedding, on_audio))
-        self._admit_pending()
         return rid
 
     def pending(self) -> bool:
@@ -216,10 +232,21 @@ class ContinuousBatcher:
         take = min(len(free), len(self._queue))
         if take == 0:
             return
-        batch = [self._queue.pop(0) for _ in range(take)]
+        batch = []
+        token_lists = []
+        while len(batch) < take and self._queue:
+            item = self._queue.pop(0)
+            try:
+                token_lists.append(
+                    self.engine.tokenizer.encode_for_tts(item[1]))
+                batch.append(item)
+            except Exception as e:  # poisoned text fails ITS request only
+                self._failed[item[0]] = self._error_result(
+                    f"tokenization failed: {type(e).__name__}: {e}")
+        take = len(batch)
+        if take == 0:
+            return
         slot_ids = free[:take]
-        token_lists = [self.engine.tokenizer.encode_for_tts(text)
-                       for _, text, _, _ in batch]
 
         K = self.n_slots
         t_max = max(len(t) for t in token_lists)
@@ -283,13 +310,60 @@ class ContinuousBatcher:
         Requests admitted into slots freed THIS step still join chunk k+1
         (admit ops chain onto the in-flight state).
 
+        Failure isolation (the reference's graceful-degradation policy,
+        SURVEY.md §5, extended to multi-stream): per-request failures
+        (poisoned text, a raising on_audio callback) fail that request
+        only; an unexpected failure in the shared device step fails the
+        in-flight requests with error results, rebuilds the device state,
+        and keeps serving — still-queued requests admit on the next step.
+
         QWEN3_TTS_PROFILE=<dir> captures a jax.profiler trace per step."""
         with profile_trace("serve.step"):
-            return self._step_impl()
+            try:
+                out = self._step_impl()
+            except Exception as e:
+                out = self._fail_inflight(e)
+        if self._failed:
+            out = {**self._failed, **out}
+            self._failed = {}
+        return out
+
+    def _error_result(self, msg: str, t_start: float | None = None
+                      ) -> TTSResult:
+        r = TTSResult()
+        r.success = False
+        r.error_msg = msg
+        if t_start:
+            r.t_total_ms = (time.monotonic() - t_start) * 1e3
+        return r
+
+    def _fail_inflight(self, exc: Exception) -> dict[int, TTSResult]:
+        """Fail every in-flight request and rebuild the device state (it
+        cannot be trusted after an arbitrary failure mid-step). The batch
+        survives: queued requests stay queued and admit on the next
+        step."""
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        msg = f"serving step failed: {type(exc).__name__}: {exc}"
+        out: dict[int, TTSResult] = {}
+        for slot in self._retiring:  # freed mid-step, not yet finalized
+            out[slot.request_id] = self._error_result(msg, slot.t_start)
+        self._retiring = []
+        for b, slot in enumerate(self.slots):
+            if slot.busy:
+                out[slot.request_id] = self._error_result(msg, slot.t_start)
+                self.slots[b] = _Slot()
+        try:
+            self._reset_state()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+        return out
 
     def _step_impl(self) -> dict[int, TTSResult]:
         if self._inflight is None:
-            if not self.pending():
+            self._admit_pending()
+            if not any(s.busy for s in self.slots):
                 return {}
             self._dispatch_chunk()
         codes_d, valid_d = self._inflight
@@ -300,6 +374,9 @@ class ContinuousBatcher:
 
         live: list[_Slot] = []
         retired: list[_Slot] = []
+        self._retiring = retired  # visible to _fail_inflight: slots freed
+        #                           below must still fail loudly, not
+        #                           vanish, if decode/finalize raises
         for b, slot in enumerate(self.slots):
             if not slot.busy:
                 continue
@@ -327,7 +404,9 @@ class ContinuousBatcher:
         if any(s.busy for s in self.slots):
             self._dispatch_chunk()
         self._decode_slots(live, retired)
-        return {slot.request_id: self._finalize(slot) for slot in retired}
+        out = {slot.request_id: self._finalize(slot) for slot in retired}
+        self._retiring = []
+        return out
 
     def _decode_slots(self, live: list[_Slot], retired: list[_Slot]) -> None:
         """Vocoder-decode every slot's ready 40-frame chunks, batched
@@ -371,16 +450,28 @@ class ContinuousBatcher:
                 ref = PCMRef(fut, i, valid)
                 slot.audio.append(ref)
                 if slot.on_audio:
-                    slot.on_audio(Qwen3TTS._pcm_to_f32(ref), is_tail)
+                    try:
+                        slot.on_audio(Qwen3TTS._pcm_to_f32(ref), is_tail)
+                    except Exception as e:
+                        # a raising sink fails ITS request, not the batch
+                        slot.error = (f"on_audio callback failed: "
+                                      f"{type(e).__name__}: {e}")
+                        slot.on_audio = None
 
     def _finalize(self, slot: _Slot) -> TTSResult:
         r = TTSResult()
         r.n_frames = sum(len(f) for f in slot.frames)
-        r.audio = Qwen3TTS._pcm_parts_to_f32(slot.audio)
+        try:
+            r.audio = Qwen3TTS._pcm_parts_to_f32(slot.audio)
+        except Exception as e:  # readback failure is per-request too
+            slot.error = slot.error or (f"audio readback failed: "
+                                        f"{type(e).__name__}: {e}")
         r.sample_rate = (self.engine.voc_cfg.sample_rate
                          if self.engine.voc_cfg else 24000)
-        r.success = r.n_frames > 0
-        if not r.success:
+        r.success = r.n_frames > 0 and not slot.error
+        if slot.error:
+            r.error_msg = slot.error
+        elif not r.success:
             r.error_msg = "No speech codes generated"
         r.t_total_ms = (time.monotonic() - slot.t_start) * 1e3
         return r

@@ -46,3 +46,40 @@ def test_continuous_server_protocol(engine, tmp_path):
     assert reported == set(outs)
     for o in outs:
         assert os.path.exists(o)
+
+
+def test_continuous_server_stress_mixed(engine, tmp_path):
+    """Stress: 32 mixed-length requests over 8 slots, several turnovers,
+    plus requests with unwritable output paths. Every request must get
+    EXACTLY one OK/ERR line and the server must survive to the end."""
+    n = 32
+    texts = ["hello.", "hello world.", "hello world. hello world.",
+             "hello hello hello."]
+    lines = []
+    outs = {}
+    bad_idx = {5, 17, 29}  # unwritable output dir -> ERR expected
+    for i in range(n):
+        if i in bad_idx:
+            out = str(tmp_path / "no_such_dir" / f"{i}.wav")
+        else:
+            out = str(tmp_path / f"s{i}.wav")
+        outs[i] = out
+        lines.append(f"{texts[i % len(texts)]}\t{out}")
+    stdin = io.StringIO("\n".join(lines) + "\nquit\n")
+    stdout = io.StringIO()
+    params = TTSParams(temperature=0.0, print_timing=False, seed=0)
+    rc = cli.run_server_continuous(engine, None, params, n_slots=8,
+                                   max_frames=6, stdin=stdin, stdout=stdout)
+    assert rc == 0
+    got = [l for l in stdout.getvalue().strip().split("\n") if l]
+    assert len(got) == n, f"expected {n} response lines, got {len(got)}"
+    n_ok = sum(1 for l in got if l.startswith("OK\t"))
+    n_err = sum(1 for l in got if l.startswith("ERR\t"))
+    assert n_ok == n - len(bad_idx)
+    assert n_err == len(bad_idx)
+    # every good request produced its file; every OK line names one
+    ok_files = {l.split("\t")[3] for l in got if l.startswith("OK\t")}
+    expect_files = {outs[i] for i in range(n) if i not in bad_idx}
+    assert ok_files == expect_files
+    for f in expect_files:
+        assert os.path.exists(f)

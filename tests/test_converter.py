@@ -37,7 +37,7 @@ def make_tts_checkpoint(d: Path, rng):
                 "num_hidden_layers": CP_L, "vocab_size": CPV,
             },
         },
-        "speaker_encoder_config": {"enc_dim": 8, "sample_rate": 24000},
+        "speaker_encoder_config": {"enc_dim": H, "sample_rate": 24000},
     }
     (d / "config.json").write_text(json.dumps(cfg))
     (d / "vocab.json").write_text(json.dumps(
@@ -88,6 +88,45 @@ def make_tts_checkpoint(d: Path, rng):
             rng.standard_normal((CPV, H))
         t[f"talker.code_predictor.lm_head.{i}.weight"] = \
             rng.standard_normal((CPV, H))
+
+    # Tiny ECAPA speaker encoder (default mel geometry n_mels=128/scale=8,
+    # small channel dims — SpeakerEncoderConfig restores only sample_rate
+    # + embedding_length from GGUF metadata, config.py:184-188). Covers
+    # the convert -> lazy-load -> encode_speaker path end-to-end.
+    SH, SCALE = 16, 8           # hidden, res2net scale (config defaults)
+    SBR, SSE, SMFA = SH // SCALE, max(SH // 4, 1), 3 * SH
+    t["speaker_encoder.blocks.0.conv.weight"] = \
+        rng.standard_normal((SH, 128, 5)) * 0.1
+    t["speaker_encoder.blocks.0.conv.bias"] = rng.standard_normal(SH) * 0.1
+    for i in (1, 2, 3):
+        p = f"speaker_encoder.blocks.{i}"
+        for j in (1, 2):
+            t[f"{p}.tdnn{j}.conv.weight"] = \
+                rng.standard_normal((SH, SH, 1)) * 0.1
+            t[f"{p}.tdnn{j}.conv.bias"] = rng.standard_normal(SH) * 0.1
+        for j in range(SCALE - 1):
+            t[f"{p}.res2net_block.blocks.{j}.conv.weight"] = \
+                rng.standard_normal((SBR, SBR, 3)) * 0.1
+            t[f"{p}.res2net_block.blocks.{j}.conv.bias"] = \
+                rng.standard_normal(SBR) * 0.1
+        t[f"{p}.se_block.conv1.weight"] = \
+            rng.standard_normal((SSE, SH, 1)) * 0.1
+        t[f"{p}.se_block.conv1.bias"] = rng.standard_normal(SSE) * 0.1
+        t[f"{p}.se_block.conv2.weight"] = \
+            rng.standard_normal((SH, SSE, 1)) * 0.1
+        t[f"{p}.se_block.conv2.bias"] = rng.standard_normal(SH) * 0.1
+    t["speaker_encoder.mfa.conv.weight"] = \
+        rng.standard_normal((SMFA, SMFA, 1)) * 0.1
+    t["speaker_encoder.mfa.conv.bias"] = rng.standard_normal(SMFA) * 0.1
+    t["speaker_encoder.asp.tdnn.conv.weight"] = \
+        rng.standard_normal((SSE, SMFA * 3, 1)) * 0.1
+    t["speaker_encoder.asp.tdnn.conv.bias"] = rng.standard_normal(SSE) * 0.1
+    t["speaker_encoder.asp.conv.weight"] = \
+        rng.standard_normal((SMFA, SSE, 1)) * 0.1
+    t["speaker_encoder.asp.conv.bias"] = rng.standard_normal(SMFA) * 0.1
+    t["speaker_encoder.fc.weight"] = \
+        rng.standard_normal((H, 2 * SMFA, 1)) * 0.1
+    t["speaker_encoder.fc.bias"] = rng.standard_normal(H) * 0.1
     arrays = {k: np.asarray(v, np.float32) for k, v in t.items()}
     safetensors.save_file(arrays, str(d / "model.safetensors"))
     return arrays

@@ -186,3 +186,24 @@ def test_batch_equals_single(voc):
     batch = np.asarray(vocoder_decode(w, cfg, jnp.asarray(codes, jnp.int32)))
     single = np.asarray(vocoder_decode(w, cfg, jnp.asarray(codes[:1], jnp.int32)))
     np.testing.assert_allclose(batch[0], single[0], atol=1e-4)
+
+
+def test_subbatched_decode_matches(voc):
+    """vocoder_decode_subbatched (one lax.map dispatch) must equal the
+    plain per-batch decode — both trims, pcm16 both ways."""
+    cfg, w = voc
+    rng = np.random.default_rng(17)
+    codes = jnp.asarray(rng.integers(0, cfg.codebook_size, (8, 6, 16)),
+                        jnp.int32)
+    for trim in ("both", "causal"):
+        base = vocoder.vocoder_decode(w, cfg, codes, trim=trim)
+        sub = vocoder.vocoder_decode_subbatched(w, cfg, codes, trim=trim,
+                                                sub=2)
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(base),
+                                   atol=1e-5)
+    p16 = vocoder.vocoder_decode_subbatched(w, cfg, codes, trim="causal",
+                                            sub=4, pcm16=True)
+    base16 = vocoder.vocoder_decode(w, cfg, codes, trim="causal",
+                                    pcm16=True)
+    assert p16.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(p16), np.asarray(base16))
