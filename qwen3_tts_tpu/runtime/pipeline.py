@@ -328,6 +328,14 @@ class Qwen3TTS:
         seed = p.seed if p.seed is not None else np.random.randint(0, 2**31)
         state = init_state(self.talker_w, cfg, prefill, max_ctx,
                            jax.random.PRNGKey(seed))
+        if self.mesh is not None and B % self.mesh.shape.get("dp", 1) == 0:
+            # sharded engine: stream batch over dp, KV heads over tp —
+            # every chunk below runs SPMD with explicit state layouts
+            # (not just weight-sharding propagation). Ragged batches
+            # (B not divisible by dp) fall back to GSPMD propagation
+            # from the weight shardings alone.
+            from ..parallel.mesh import shard_gen_state
+            state = shard_gen_state(state, self.mesh)
         consts = make_consts(prefill, p.temperature, p.repetition_penalty)
 
         frames: list[list[np.ndarray]] = [[] for _ in range(B)]

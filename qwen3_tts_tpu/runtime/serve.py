@@ -86,7 +86,15 @@ class ContinuousBatcher:
         self._reset_state()
 
     def _reset_state(self) -> None:
-        """(Re)build the device state: dummy prefill, all slots parked."""
+        """(Re)build the device state: dummy prefill, all slots parked.
+
+        On a sharded engine (Qwen3TTS.shard(mesh)) the serving state is
+        laid out over the mesh too: the slot batch splits across `dp`
+        (each chip owns n_slots/dp streams' KV + per-slot state) and KV
+        heads across `tp`. Every subsequent jitted step — admissions,
+        ring-mode chunks, park — then runs SPMD; GSPMD turns the scalar
+        ring-slot writes into per-shard updates with zero collectives on
+        the dp axis."""
         cfg = self.cfg
         n_slots = self.n_slots
         dummy_tokens = jnp.zeros((n_slots, 16), jnp.int32)
@@ -104,6 +112,11 @@ class ContinuousBatcher:
                                 active=jnp.zeros((n_slots,), bool))
         self.consts = make_consts(prefill, self.params.temperature,
                                   self.params.repetition_penalty)
+        mesh = getattr(self.engine, "mesh", None)
+        if mesh is not None and n_slots % mesh.shape.get("dp", 1) == 0:
+            from ..parallel.mesh import shard_consts, shard_gen_state
+            self.state = shard_gen_state(self.state, mesh)
+            self.consts = shard_consts(self.consts, mesh)
 
     def warmup(self) -> None:
         """Precompile every executable the serving loop can hit, so no

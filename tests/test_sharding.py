@@ -136,3 +136,115 @@ def test_pipeline_sharded_matches_single():
         assert a.success and b.success
         assert a.n_frames == b.n_frames
         np.testing.assert_allclose(a.audio, b.audio, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# SERVING path on the mesh: admissions, ring-mode chunks, park (round-3:
+# the continuous-batching primitives must run SPMD, not just lock-step)
+# ---------------------------------------------------------------------------
+
+def _serving_roundtrip(cfg, w, mesh=None):
+    """Drive the serving primitives: dummy init (all parked) -> admit 8
+    requests -> 2 ring chunks -> park slot 0 -> 1 more chunk."""
+    from qwen3_tts_tpu.parallel.mesh import shard_consts, shard_gen_state
+    from qwen3_tts_tpu.runtime.generate import (
+        admit_slots, park_slot, required_ctx_ring)
+
+    B, chunk = 8, 4
+    rng = np.random.default_rng(77)
+    tokens = jnp.asarray(rng.integers(0, cfg.text_vocab_size, (B, 16)),
+                         jnp.int32)
+    lens = jnp.full((B,), 16, jnp.int32)
+    spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
+    ctx = required_ctx_ring(3 * chunk, chunk)
+
+    dummy = talker.build_prefill_inputs(
+        w, cfg, jnp.zeros((B, 16), jnp.int32), lens, spk)
+    state = init_state(w, cfg, dummy, ctx, jax.random.PRNGKey(0),
+                       active=jnp.zeros((B,), bool))
+    consts = make_consts(dummy, 0.0, 1.05)
+    if mesh is not None:
+        state = shard_gen_state(state, mesh)
+        consts = shard_consts(consts, mesh)
+
+    prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
+    state, consts = admit_slots(w, cfg, state, consts,
+                                jnp.arange(B, dtype=jnp.int32), prefill)
+    out = []
+    for _ in range(2):
+        state, codes, valid = generate_chunk(w, cfg, state, consts, 50,
+                                             chunk, ring=True,
+                                             read_ctx=ctx)
+        out.append((np.asarray(codes), np.asarray(valid)))
+    state = park_slot(state, jnp.int32(0))
+    state, codes, valid = generate_chunk(w, cfg, state, consts, 50, chunk,
+                                         ring=True, read_ctx=ctx)
+    out.append((np.asarray(codes), np.asarray(valid)))
+    assert not np.asarray(valid)[:, 0].any()  # parked slot emits nothing
+    return out, np.asarray(state.done)
+
+
+def test_serving_path_dp_sharded_matches_single(setup):
+    """admit_slots + ring-mode chunks + park over dp=8 must be bit-equal
+    to single-device (the serving state is explicitly dp-sharded)."""
+    cfg, w, _ = setup
+    base, base_done = _serving_roundtrip(cfg, w, None)
+
+    mesh = make_mesh(8, 1)
+    w_s = shard_talker_weights(w, mesh)
+    got, got_done = _serving_roundtrip(cfg, w_s, mesh)
+    for (bc, bv), (gc, gv) in zip(base, got):
+        np.testing.assert_array_equal(gc, bc)
+        np.testing.assert_array_equal(gv, bv)
+    np.testing.assert_array_equal(got_done, base_done)
+
+
+def test_serving_path_dp_tp_sharded_matches_single(setup):
+    """Same over dp=4 x tp=2 (Megatron-sharded talker + code predictor)."""
+    cfg, w, _ = setup
+    base, base_done = _serving_roundtrip(cfg, w, None)
+
+    mesh = make_mesh(4, 2)
+    w_s = shard_talker_weights(w, mesh, cfg)
+    got, got_done = _serving_roundtrip(cfg, w_s, mesh)
+    for (bc, bv), (gc, gv) in zip(base, got):
+        np.testing.assert_array_equal(gc, bc)
+        np.testing.assert_array_equal(gv, bv)
+    np.testing.assert_array_equal(got_done, base_done)
+
+
+def test_continuous_batcher_on_mesh_matches_single():
+    """ContinuousBatcher over a sharded engine (dp=4 x tp=2) produces the
+    same greedy results as the unsharded engine — the full serving stack
+    (admissions, ring cache, retires, vocoder) under SPMD."""
+    import dataclasses
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from qwen3_tts_tpu.runtime.serve import ContinuousBatcher
+    from .test_tokenizer import make_tiny_tokenizer
+
+    rng = np.random.default_rng(120)
+    cfg = tiny_talker_config()
+    w = init_talker_weights(rng, cfg)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    p = TTSParams(temperature=0.0, print_timing=False, seed=0)
+    texts = ["hello world.", "hello.", "hello hello.", "hello world. hello."]
+
+    def run(engine):
+        cb = ContinuousBatcher(engine, n_slots=4, params=p, max_frames=8)
+        rids = [cb.submit(t) for t in texts]
+        res = cb.run_all()
+        return [res[r] for r in rids]
+
+    base = run(Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                        voc_cfg, voc_w))
+    sharded_engine = Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                              voc_cfg, voc_w)
+    sharded_engine.shard(make_mesh(4, 2))
+    got = run(sharded_engine)
+    for a, b in zip(base, got):
+        assert a.success and b.success
+        assert a.n_frames == b.n_frames
+        np.testing.assert_allclose(b.audio, a.audio, atol=1e-3)
