@@ -20,6 +20,8 @@ XLA materializes a transposed copy of K and V every layer — measured
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,32 @@ from ..ops.layers import (
 
 CACHE_DTYPE = jnp.bfloat16
 
+
+class QuantKV(NamedTuple):
+    """int8 KV cache with per-row (per token, per kv head) scales.
+
+    Halves the talker's KV bytes — both HBM capacity (59 -> ~30 MB/stream
+    at ctx 512, the B>160 memory wall) and the decode-attention read
+    bandwidth that dominates the talker step. Allowed by the reference's
+    precision constraint, which binds the CODE PREDICTOR only
+    (README.md:72 — and that stack keeps its bf16 in-scan cache).
+    Dequantization folds into attention as scalar-per-slot multiplies on
+    scores (K) and probs (V); the int8 tensors go straight into the dots,
+    so no bf16 copy of the cache is ever materialized.
+    """
+    values: jax.Array   # [L, 2, B, n_kv, S, D] int8
+    scales: jax.Array   # [L, 2, B, n_kv, S] f32
+
+
+def quantize_kv_rows(x: jax.Array):
+    """[..., D] -> (int8 [..., D], f32 scale [...]): symmetric per-row
+    absmax quantization."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
 # Unroll factor for the over-layers scan in PREFILL. The decode step is a
 # fully-unrolled Python loop instead: passing the cache through scan xs/ys
 # makes XLA copy each layer's ~100 MB cache slice through the scan
@@ -42,7 +70,13 @@ LAYER_UNROLL = 1
 
 
 def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
-                  head_dim: int) -> jax.Array:
+                  head_dim: int, quant: bool = False):
+    if quant:
+        return QuantKV(
+            values=jnp.zeros((n_layers, 2, batch, n_kv, max_ctx, head_dim),
+                             jnp.int8),
+            scales=jnp.full((n_layers, 2, batch, n_kv, max_ctx),
+                            1e-8 / 127.0, jnp.float32))
     return jnp.zeros((n_layers, 2, batch, n_kv, max_ctx, head_dim), CACHE_DTYPE)
 
 
@@ -121,11 +155,18 @@ def stack_prefill(layers_w, x: jax.Array, positions: jax.Array, *,
     return y, ks, vs
 
 
-def write_prefill_to_cache(kv_cache: jax.Array, ks: jax.Array, vs: jax.Array,
-                           start: int = 0) -> jax.Array:
+def write_prefill_to_cache(kv_cache, ks: jax.Array, vs: jax.Array,
+                           start: int = 0):
     """Write prefill K/V ([L,B,T,kv,D]) into the kv-major cache at `start`."""
     kv = jnp.stack([ks, vs], axis=1)                # [L,2,B,T,kv,D]
     kv = kv.transpose(0, 1, 2, 4, 3, 5)             # [L,2,B,kv,T,D]
+    if isinstance(kv_cache, QuantKV):
+        q, s = quantize_kv_rows(kv)
+        return QuantKV(
+            values=jax.lax.dynamic_update_slice(
+                kv_cache.values, q, (0, 0, 0, 0, start, 0)),
+            scales=jax.lax.dynamic_update_slice(
+                kv_cache.scales, s, (0, 0, 0, 0, start)))
     return jax.lax.dynamic_update_slice(
         kv_cache, kv.astype(kv_cache.dtype), (0, 0, 0, 0, start, 0))
 
@@ -167,7 +208,8 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
-    L = kv_cache.shape[0]
+    quant = isinstance(kv_cache, QuantKV)
+    L = (kv_cache.values if quant else kv_cache).shape[0]
     B = x.shape[0]
 
     x = x.astype(jnp.float32)
@@ -177,30 +219,54 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta,
                        positions[:, None])
         # k, v: [B, 1, kv, D] -> cache rows [B, kv, D]
-        k_row = k[:, 0].astype(kv_cache.dtype)
-        v_row = v[:, 0].astype(kv_cache.dtype)
-        if per_stream:
-            # scatter: each stream writes its own slot (legacy
-            # non-lockstep path; production uses scalar slots)
-            bidx = jnp.arange(B)
-            kv_cache = kv_cache.at[l, 0, bidx, :, write_idx].set(k_row)
-            kv_cache = kv_cache.at[l, 1, bidx, :, write_idx].set(v_row)
+        if quant:
+            k_row, k_s = quantize_kv_rows(k[:, 0])
+            v_row, v_s = quantize_kv_rows(v[:, 0])
+            values, scales = kv_cache.values, kv_cache.scales
+            if per_stream:
+                bidx = jnp.arange(B)
+                values = values.at[l, 0, bidx, :, write_idx].set(k_row)
+                values = values.at[l, 1, bidx, :, write_idx].set(v_row)
+                scales = scales.at[l, 0, bidx, :, write_idx].set(k_s)
+                scales = scales.at[l, 1, bidx, :, write_idx].set(v_s)
+            else:
+                new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
+                values = jax.lax.dynamic_update_slice(
+                    values, new_kv, (l, 0, 0, 0, write_idx, 0))
+                new_s = jnp.stack([k_s, v_s])[None, :, :, :, None]
+                scales = jax.lax.dynamic_update_slice(
+                    scales, new_s, (l, 0, 0, 0, write_idx))
+            kv_cache = QuantKV(values, scales)
+            k_l, v_l = values[l, 0], values[l, 1]           # int8
+            k_scale, v_scale = scales[l, 0], scales[l, 1]   # [B, kv, S]
         else:
-            new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
-            kv_cache = jax.lax.dynamic_update_slice(
-                kv_cache, new_kv, (l, 0, 0, 0, write_idx, 0))
-        k_l = kv_cache[l, 0]                                # [B, kv, S, D]
-        v_l = kv_cache[l, 1]
+            k_row = k[:, 0].astype(kv_cache.dtype)
+            v_row = v[:, 0].astype(kv_cache.dtype)
+            if per_stream:
+                # scatter: each stream writes its own slot (legacy
+                # non-lockstep path; production uses scalar slots)
+                bidx = jnp.arange(B)
+                kv_cache = kv_cache.at[l, 0, bidx, :, write_idx].set(k_row)
+                kv_cache = kv_cache.at[l, 1, bidx, :, write_idx].set(v_row)
+            else:
+                new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
+                kv_cache = jax.lax.dynamic_update_slice(
+                    kv_cache, new_kv, (l, 0, 0, 0, write_idx, 0))
+            k_l = kv_cache[l, 0]                            # [B, kv, S, D]
+            v_l = kv_cache[l, 1]
+            k_scale = v_scale = None
         if valid_mask is not None:
             attn = decode_attention_masked(
                 q[:, 0].astype(CACHE_DTYPE), k_l, v_l,
                 valid_mask, read_ctx=read_ctx,
                 window_lo=window_lo, window_hi=window_hi,
-                prefill_len=prefill_len)
+                prefill_len=prefill_len,
+                k_scale=k_scale, v_scale=v_scale)
         else:
             attn = decode_attention(q[:, 0].astype(CACHE_DTYPE),
                                     k_l, v_l, n_valid,
-                                    read_ctx=read_ctx)
+                                    read_ctx=read_ctx,
+                                    k_scale=k_scale, v_scale=v_scale)
         attn = jnp.dot(attn.astype(wl["wo"].dtype), wl["wo"],
                        preferred_element_type=jnp.float32)
         x = x + attn

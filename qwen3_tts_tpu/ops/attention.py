@@ -43,22 +43,30 @@ def _resolve() -> str:
     return "xla" if _IMPL == "auto" else _IMPL
 
 
-def _slice_window(k, v, mask, read_ctx):
+def _slice_window(k, v, mask, read_ctx, k_scale=None, v_scale=None):
     if read_ctx is not None:
         k, v = k[:, :, :read_ctx], v[:, :, :read_ctx]
         mask = mask[:, :read_ctx]
-    return k, v, mask
+        if k_scale is not None:
+            k_scale = k_scale[:, :, :read_ctx]
+            v_scale = v_scale[:, :, :read_ctx]
+    return k, v, mask, k_scale, v_scale
 
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      n_valid: jax.Array,
-                     read_ctx: int | None = None) -> jax.Array:
+                     read_ctx: int | None = None,
+                     k_scale: jax.Array | None = None,
+                     v_scale: jax.Array | None = None) -> jax.Array:
     """Prefix-validity decode attention.
 
     q: [B, n_heads, D]; k, v: [B, n_kv, S, D] full padded kv-major cache;
-    n_valid: [B]; read_ctx (static) bounds any stream's valid length."""
+    n_valid: [B]; read_ctx (static) bounds any stream's valid length.
+    k_scale/v_scale: [B, n_kv, S] per-row dequant scales when the cache is
+    int8 (models/stack.QuantKV) — the int8 path always uses the XLA
+    einsums (the flash kernel reads bf16)."""
     impl = _resolve()
-    if impl in ("flash", "flash_interpret"):
+    if impl in ("flash", "flash_interpret") and k_scale is None:
         try:
             # kernel reads the seq-major layout; transpose at the boundary
             ks = k.transpose(0, 2, 1, 3)
@@ -71,8 +79,9 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pass
     S = k.shape[2]
     mask = jnp.arange(S)[None, :] < n_valid[:, None]
-    k, v, mask = _slice_window(k, v, mask, read_ctx)
-    return gqa_attention_step_kvmajor(q, k, v, mask)
+    k, v, mask, k_scale, v_scale = _slice_window(k, v, mask, read_ctx,
+                                                 k_scale, v_scale)
+    return gqa_attention_step_kvmajor(q, k, v, mask, k_scale, v_scale)
 
 
 def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -80,16 +89,19 @@ def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
                             read_ctx: int | None = None,
                             window_lo: jax.Array | None = None,
                             window_hi: jax.Array | None = None,
-                            prefill_len: int = 0) -> jax.Array:
+                            prefill_len: int = 0,
+                            k_scale: jax.Array | None = None,
+                            v_scale: jax.Array | None = None) -> jax.Array:
     """Bitmask decode attention (ring-slot cache serving).
 
     q: [B, n_heads, D]; k, v: [B, n_kv, S, D]; valid_mask: [B, S].
     window_lo/window_hi + prefill_len bound each stream's valid slots to
     [0, prefill_len) U [lo, hi) — only the flash kernel exploits this
     (block skipping); the XLA path's bandwidth is already bounded by
-    read_ctx and the bitmask costs nothing extra."""
+    read_ctx and the bitmask costs nothing extra. k_scale/v_scale: int8
+    cache dequant scales (see decode_attention)."""
     impl = _resolve()
-    if impl in ("flash", "flash_interpret"):
+    if impl in ("flash", "flash_interpret") and k_scale is None:
         try:
             ks = k.transpose(0, 2, 1, 3)
             vs = v.transpose(0, 2, 1, 3)
@@ -100,5 +112,6 @@ def decode_attention_masked(q: jax.Array, k: jax.Array, v: jax.Array,
                 interpret=impl == "flash_interpret")
         except Exception:
             pass
-    k, v, valid_mask = _slice_window(k, v, valid_mask, read_ctx)
-    return gqa_attention_step_kvmajor(q, k, v, valid_mask)
+    k, v, valid_mask, k_scale, v_scale = _slice_window(
+        k, v, valid_mask, read_ctx, k_scale, v_scale)
+    return gqa_attention_step_kvmajor(q, k, v, valid_mask, k_scale, v_scale)

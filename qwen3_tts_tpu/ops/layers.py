@@ -103,7 +103,9 @@ def gqa_attention_step(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def gqa_attention_step_kvmajor(q: jax.Array, k: jax.Array, v: jax.Array,
-                               mask: jax.Array) -> jax.Array:
+                               mask: jax.Array,
+                               k_scale: jax.Array | None = None,
+                               v_scale: jax.Array | None = None) -> jax.Array:
     """Decode attention over a kv-heads-major cache: k, v are [B, n_kv, S, D].
 
     This is the production decode path. The cache is stored kv-heads-major
@@ -115,6 +117,13 @@ def gqa_attention_step_kvmajor(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q: [B, n_heads, D]; mask: [B, S] bool — cache slots each stream may
     attend (prefix masks and ring-slot bitmasks both reduce to this).
+
+    int8 cache (models/stack.QuantKV): pass k_scale/v_scale [B, n_kv, S].
+    Dequantization folds into the existing math — scores pick up the
+    per-slot K scale after the QK^T dot; the per-slot V scale multiplies
+    the probs before the PV dot (sum_t p_t*(v_t*s_t) == sum_t (p_t*s_t)*v_t).
+    The dots consume the int8 tensors directly, so HBM reads stay 1 byte/
+    element and no dequantized cache copy is ever materialized.
     Returns [B, n_heads*D] f32.
     """
     B, n_heads, D = q.shape
@@ -123,12 +132,23 @@ def gqa_attention_step_kvmajor(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = 1.0 / (D ** 0.5)
 
     qh = q.reshape(B, n_kv, G, D)
-    scores = jnp.einsum("bkgd,bksd->bkgs", qh, k,
-                        preferred_element_type=jnp.float32) * scale
+    if k.dtype == jnp.int8:
+        scores = jnp.einsum("bkgd,bksd->bkgs", qh,
+                            k.astype(qh.dtype),
+                            preferred_element_type=jnp.float32)
+        scores = scores * (k_scale[:, :, None, :] * scale)
+    else:
+        scores = jnp.einsum("bkgd,bksd->bkgs", qh, k,
+                            preferred_element_type=jnp.float32) * scale
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if v.dtype == jnp.int8:
+        pv = (probs * v_scale[:, :, None, :]).astype(jnp.bfloat16)
+        out = jnp.einsum("bkgs,bksd->bkgd", pv, v.astype(pv.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bkgs,bksd->bkgd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     return out.reshape(B, n_heads * D)
 
 

@@ -136,13 +136,23 @@ def shard_talker_weights(w, mesh: Mesh, cfg=None):
 
 def shard_gen_state(state, mesh: Mesh):
     """GenState sharding: batch over dp, KV heads over tp."""
+    from ..models.stack import QuantKV
+
     # kv-major cache [L, 2, B, kv, S, D]: dp on B (dim 2), tp on kv (dim 3)
     cache_s = _ns(mesh, None, None, "dp", "tp", None, None)
     b_s = _ns(mesh, "dp")
     b2_s = _ns(mesh, "dp", None)
     rep = _ns(mesh)
+    if isinstance(state.kv_cache, QuantKV):
+        cache = QuantKV(
+            values=jax.device_put(state.kv_cache.values, cache_s),
+            scales=jax.device_put(
+                state.kv_cache.scales,
+                _ns(mesh, None, None, "dp", "tp", None)))
+    else:
+        cache = jax.device_put(state.kv_cache, cache_s)
     return type(state)(
-        kv_cache=jax.device_put(state.kv_cache, cache_s),
+        kv_cache=cache,
         n_past=jax.device_put(state.n_past, b_s),
         frame_idx=jax.device_put(state.frame_idx, b_s),
         last_hidden=jax.device_put(state.last_hidden, b2_s),

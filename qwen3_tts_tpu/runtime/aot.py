@@ -1,0 +1,153 @@
+"""AOT executable cache: serialize compiled XLA/Mosaic executables to disk.
+
+The reference never compiles at serve time — it deserializes prebuilt TRT
+engines (trt_vocoder.cpp:26-96, trt_code_predictor.cpp:89-166). This is
+the TPU analogue: `jax.experimental.serialize_executable` pickles the
+fully-compiled executable (Pallas kernels included — which the XLA
+persistent compile cache does NOT capture on this platform, NOTES.md), so
+a fresh serving process loads the serving set in seconds instead of
+paying ~50 s per vocoder bucket through the remote-compile tunnel.
+
+Artifacts are keyed by a caller-supplied name plus a fingerprint of the
+jax version and device kind; a stale or incompatible artifact falls back
+to a normal compile (graceful degradation, the reference's policy for
+missing engines, qwen3_tts.cpp:193-196).
+
+Usage:
+    cache = AotCache()                       # default .aot_cache dir
+    fn = cache.get_or_compile("gen_b160_rc512", generate_chunk,
+                              w, cfg, state, consts, 50, 40,
+                              read_ctx=512, ring=True)
+    state, codes, valid = fn(w, state, consts)   # DYNAMIC args only
+
+Compiled executables take only the DYNAMIC arguments (the jit wrapper's
+static args — cfg, chunk size, flags — are baked into the artifact), so
+the returned callable is invoked with the dynamic subset, in the original
+order. Donation semantics are preserved.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+DEFAULT_DIR = os.environ.get("QWEN3_TTS_AOT_DIR", "/root/repo/.aot_cache")
+
+
+def _log(msg: str) -> None:
+    print(f"  [aot] {msg}", file=sys.stderr, flush=True)
+
+
+def _fingerprint() -> str:
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform).replace(" ", "_")
+    return f"{jax.__version__}-{dev.platform}-{kind}"
+
+
+class _LoadedExec:
+    """Wraps a deserialized Compiled: callable with the original
+    (flattened-tree) signature."""
+
+    __slots__ = ("compiled",)
+
+    def __init__(self, compiled):
+        self.compiled = compiled
+
+    def __call__(self, *args, **kwargs):
+        return self.compiled(*args, **kwargs)
+
+
+class AotCache:
+    def __init__(self, cache_dir: str | Path | None = None,
+                 enabled: bool | None = None):
+        self.dir = Path(cache_dir or DEFAULT_DIR)
+        env = os.environ.get("QWEN3_TTS_AOT", "1")
+        self.enabled = (env != "0") if enabled is None else enabled
+        self._fp = None
+
+    @property
+    def fingerprint(self) -> str:
+        if self._fp is None:
+            self._fp = _fingerprint()
+        return self._fp
+
+    def _path(self, key: str) -> Path:
+        return self.dir / f"{key}-{self.fingerprint}.jaxexec"
+
+    def load(self, key: str):
+        """Load a serialized executable; None if absent/incompatible."""
+        if not self.enabled:
+            return None
+        path = self._path(key)
+        if not path.exists():
+            return None
+        try:
+            t0 = time.monotonic()
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load)
+            with open(path, "rb") as f:
+                blob, in_tree, out_tree, device_ids = pickle.load(f)
+            # reconstruct on the devices the executable was built for —
+            # the default (all client devices) breaks on multi-device
+            # hosts when the program was compiled single-device
+            by_id = {d.id: d for d in jax.devices()}
+            devs = [by_id[i] for i in device_ids if i in by_id]
+            if len(devs) != len(device_ids):
+                devs = jax.devices()[:len(device_ids)]
+            compiled = deserialize_and_load(blob, in_tree, out_tree,
+                                            execution_devices=devs)
+            _log(f"loaded {key} ({path.stat().st_size >> 20} MiB, "
+                 f"{time.monotonic()-t0:.1f} s)")
+            return _LoadedExec(compiled)
+        except Exception as e:  # stale/incompatible artifact -> recompile
+            _log(f"load of {key} failed ({type(e).__name__}: "
+                 f"{str(e)[:120]}); recompiling")
+            try:
+                path.unlink()
+            except OSError:
+                pass
+            return None
+
+    def save(self, key: str, compiled) -> bool:
+        if not self.enabled:
+            return False
+        try:
+            from jax.experimental.serialize_executable import serialize
+            blob, in_tree, out_tree = serialize(compiled)
+            try:
+                device_ids = [d.id for d in
+                              compiled._executable.xla_executable
+                              .local_devices()]
+            except AttributeError:
+                device_ids = [d.id for d in jax.devices()]
+            self.dir.mkdir(parents=True, exist_ok=True)
+            path = self._path(key)
+            tmp = path.with_suffix(".tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump((blob, in_tree, out_tree, device_ids), f)
+            os.replace(tmp, path)
+            _log(f"saved {key} ({path.stat().st_size >> 20} MiB)")
+            return True
+        except Exception as e:
+            _log(f"save of {key} failed ({type(e).__name__}: "
+                 f"{str(e)[:120]})")
+            return False
+
+    def get_or_compile(self, key: str, jitted_fn, *args, **kwargs):
+        """Return a callable for `jitted_fn` at these arg shapes: the
+        deserialized artifact when present, else lower+compile (and
+        persist). Call the result with the DYNAMIC args only (static
+        jit args are baked into the executable)."""
+        hit = self.load(key)
+        if hit is not None:
+            return hit
+        t0 = time.monotonic()
+        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        _log(f"compiled {key} ({time.monotonic()-t0:.1f} s)")
+        self.save(key, compiled)
+        return _LoadedExec(compiled)

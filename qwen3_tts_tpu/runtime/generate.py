@@ -39,6 +39,14 @@ from ..ops.sampling import sample_cb0
 RING_PREFILL_SLOTS = 16
 
 
+def kv_quant_enabled() -> bool:
+    """QWEN3_TTS_KV=int8 selects the int8 talker KV cache (stack.QuantKV):
+    half the KV memory + decode-read bandwidth. Default bf16."""
+    import os
+    return os.environ.get("QWEN3_TTS_KV", "bf16").lower() == "int8"
+
+
+
 class GenState(NamedTuple):
     kv_cache: jax.Array       # [L, 2, B, kv, S, D] bf16 (kv-major)
     n_past: jax.Array         # [B] int32 — per-stream LOGICAL position
@@ -67,10 +75,11 @@ class GenConsts(NamedTuple):
     repetition_penalty: jax.Array  # scalar f32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_ctx"))
+@partial(jax.jit, static_argnames=("cfg", "max_ctx", "kv_quant"))
 def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
                max_ctx: int, key: jax.Array,
-               active: jax.Array | None = None) -> GenState:
+               active: jax.Array | None = None,
+               kv_quant: bool = False) -> GenState:
     """Run the prefill and build the generation state.
 
     max_ctx must cover prefill_len + max frames + slack
@@ -78,10 +87,14 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
     tts_transformer.cpp:2383-2388).
     `active`: [B] bool — streams that actually hold a request (for
     partially-filled serving batches).
+    `kv_quant`: int8 talker KV cache (stack.QuantKV) — halves KV memory
+    and decode-attention read bandwidth (allowed: the reference's bf16
+    constraint binds the code predictor only, README.md:72).
     """
     B, P, H = prefill.prefill_embd.shape
     cache = init_kv_cache(cfg.n_layers, B, max_ctx,
-                          cfg.n_key_value_heads, cfg.head_dim)
+                          cfg.n_key_value_heads, cfg.head_dim,
+                          quant=kv_quant)
     hidden, logits, cache = talker.talker_prefill(
         w, cfg, prefill.prefill_embd, cache)
     done = jnp.zeros((B,), bool) if active is None else ~active
@@ -247,7 +260,7 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     prefill: PrefillInputs with leading dim K; trailing_hidden must
     already be padded/truncated to consts.trailing_hidden.shape[1].
     """
-    from ..models.stack import stack_prefill
+    from ..models.stack import QuantKV, quantize_kv_rows, stack_prefill
     from ..ops.layers import rms_norm
 
     K, P = prefill.prefill_embd.shape[:2]
@@ -267,13 +280,24 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
                      preferred_element_type=jnp.float32)
 
-    kv = jnp.stack([ks, vs], axis=1).astype(state.kv_cache.dtype)
+    kv = jnp.stack([ks, vs], axis=1)
     kv = kv.transpose(0, 1, 2, 4, 3, 5)          # [L,2,K,kv,P,D] kv-major
     cache = state.kv_cache                       # [L,2,B,kv,S,D]
-    for i in range(K):
-        # sequential scalar-slot writes: duplicates resolve last-wins
-        cache = jax.lax.dynamic_update_slice(
-            cache, kv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
+    if isinstance(cache, QuantKV):
+        qv, qs = quantize_kv_rows(kv)
+        values, scales = cache.values, cache.scales
+        for i in range(K):
+            # sequential scalar-slot writes: duplicates resolve last-wins
+            values = jax.lax.dynamic_update_slice(
+                values, qv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
+            scales = jax.lax.dynamic_update_slice(
+                scales, qs[:, :, i:i + 1], (0, 0, slots[i], 0, 0))
+        cache = QuantKV(values, scales)
+    else:
+        kv = kv.astype(cache.dtype)
+        for i in range(K):
+            cache = jax.lax.dynamic_update_slice(
+                cache, kv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
 
     expected = jnp.maximum(20, prefill.n_text_tokens * 4).astype(jnp.int32)
     S = state.valid_mask.shape[1]

@@ -326,8 +326,10 @@ class Qwen3TTS:
         max_ctx = required_ctx(prefill.prefill_embd.shape[1],
                                p.max_audio_tokens, CHUNK_FRAMES)
         seed = p.seed if p.seed is not None else np.random.randint(0, 2**31)
+        from .generate import kv_quant_enabled
         state = init_state(self.talker_w, cfg, prefill, max_ctx,
-                           jax.random.PRNGKey(seed))
+                           jax.random.PRNGKey(seed),
+                           kv_quant=kv_quant_enabled())
         if self.mesh is not None and B % self.mesh.shape.get("dp", 1) == 0:
             # sharded engine: stream batch over dp, KV heads over tp —
             # every chunk below runs SPMD with explicit state layouts
@@ -490,11 +492,16 @@ class Qwen3TTS:
                 self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
                 trim="causal", pcm16=pcm16)
             return out if pcm16 else np.asarray(out)
-        parts = [self._decode_chunk_batch(codes[i:i + self.VOC_MAX_BATCH],
-                                          pcm16)
-                 for i in range(0, n, self.VOC_MAX_BATCH)]
-        return (jnp.concatenate(parts, axis=0) if pcm16
-                else np.concatenate(parts, axis=0))
+        # one dispatch for the whole wave: lax.map over the largest
+        # sub-batch size dividing n (dispatches through the axon tunnel
+        # cost 1-200 ms each; a python loop of sub-batches was measured
+        # 3.5x slower than its own compute under tunnel load)
+        sub = next(d for d in (self.VOC_MAX_BATCH, 32, 16, 8, 4, 2, 1)
+                   if n % d == 0)
+        out = vocoder.vocoder_decode_subbatched(
+            self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
+            trim="causal", pcm16=pcm16, sub=sub)
+        return out if pcm16 else np.asarray(out)
 
     @property
     def _readback_pool(self):

@@ -32,7 +32,13 @@ from .pipeline import (CHUNK_FRAMES, PCMRef, Qwen3TTS, TTSParams,
 class _Slot:
     busy: bool = False
     request_id: int = -1
-    frames: list = field(default_factory=list)
+    # preallocated [max_frames, n_codebooks] int32 frame buffer: appends
+    # and chunk reads are O(1) slices (the previous per-wave
+    # np.concatenate over a growing list was O(total_frames) per chunk —
+    # quadratic host work over a request's life, felt at 48+ slots)
+    buf: np.ndarray | None = None
+    n_frames: int = 0      # frames generated into buf
+    n_decoded: int = 0     # frames already sent to the vocoder
     audio: list = field(default_factory=list)
     max_frames: int = 0
     t_start: float = 0.0
@@ -107,9 +113,11 @@ class ContinuousBatcher:
         self._steps_done = 0
         self._inflight = None  # (codes, valid) of the enqueued gen chunk
         seed = self.params.seed if self.params.seed is not None else 0
+        from .generate import kv_quant_enabled
         self.state = init_state(self.engine.talker_w, cfg, prefill,
                                 self.ctx, jax.random.PRNGKey(seed),
-                                active=jnp.zeros((n_slots,), bool))
+                                active=jnp.zeros((n_slots,), bool),
+                                kv_quant=kv_quant_enabled())
         self.consts = make_consts(prefill, self.params.temperature,
                                   self.params.repetition_penalty)
         mesh = getattr(self.engine, "mesh", None)
@@ -292,6 +300,7 @@ class ContinuousBatcher:
             rid, _, _, on_audio = batch[j]
             self.slots[slot_ids[j]] = _Slot(
                 busy=True, request_id=rid, max_frames=self.max_frames,
+                buf=np.empty((self.max_frames, cfg.n_codebooks), np.int32),
                 t_start=time.monotonic(), on_audio=on_audio)
 
     # ------------------------------------------------------------------
@@ -394,13 +403,13 @@ class ContinuousBatcher:
             if not slot.busy:
                 continue
             got = codes_h[valid_h[:, b], b]
-            n_have = sum(len(f) for f in slot.frames)
-            if n_have + len(got) > slot.max_frames:
-                got = got[:slot.max_frames - n_have]
+            room = slot.max_frames - slot.n_frames
+            if len(got) > room:
+                got = got[:room]
             if len(got):
-                slot.frames.append(got)
-            n_have += len(got)
-            is_done = bool(done_h[b]) or n_have >= slot.max_frames
+                slot.buf[slot.n_frames:slot.n_frames + len(got)] = got
+                slot.n_frames += len(got)
+            is_done = bool(done_h[b]) or slot.n_frames >= slot.max_frames
             if is_done:
                 if not bool(done_h[b]):
                     # retired by the frame cap, not EOS: stop the device
@@ -432,17 +441,15 @@ class ContinuousBatcher:
         while True:
             work: list[tuple[_Slot, np.ndarray, int, bool]] = []
             for slot, is_retired in targets:
-                total = sum(len(f) for f in slot.frames)
-                done = len(slot.audio) * CHUNK_FRAMES
-                remaining = total - done
+                remaining = slot.n_frames - slot.n_decoded
                 if remaining >= CHUNK_FRAMES:
-                    full = np.concatenate(slot.frames)
-                    work.append((slot, full[done:done + CHUNK_FRAMES],
+                    work.append((slot,
+                                 slot.buf[slot.n_decoded:
+                                          slot.n_decoded + CHUNK_FRAMES],
                                  CHUNK_FRAMES, False))
                 elif remaining > 0 and is_retired:
-                    full = np.concatenate(slot.frames)
                     part = np.zeros((CHUNK_FRAMES, n_cb), np.int32)
-                    part[:remaining] = full[done:]
+                    part[:remaining] = slot.buf[slot.n_decoded:slot.n_frames]
                     work.append((slot, part, remaining, True))
             if not work:
                 return
@@ -455,6 +462,7 @@ class ContinuousBatcher:
             audio = self.engine._decode_chunk_batch(batch, pcm16=True)
             fut = self.engine.readback_submit(audio)
             for i, (slot, _, k, is_tail) in enumerate(work):
+                slot.n_decoded += k
                 valid = None
                 if k < CHUNK_FRAMES:
                     valid = vocoder.vocoder_output_length(
@@ -473,7 +481,7 @@ class ContinuousBatcher:
 
     def _finalize(self, slot: _Slot) -> TTSResult:
         r = TTSResult()
-        r.n_frames = sum(len(f) for f in slot.frames)
+        r.n_frames = slot.n_frames
         try:
             r.audio = Qwen3TTS._pcm_parts_to_f32(slot.audio)
         except Exception as e:  # readback failure is per-request too
