@@ -26,6 +26,31 @@ from ..ops.layers import rms_norm
 from ..ops.sampling import sample_codes
 from .stack import stack_prefill, stack_step, write_prefill_to_cache
 
+# Implementation selector for predict_codes (the fused Pallas megakernel
+# vs the XLA scan — ops/codepred_fused.py). Resolved at TRACE time: like
+# vocoder.set_res_chain_impl, changing it after a caller has jitted has
+# no effect on cached executables (re-jit or restart to switch).
+_IMPL = None                 # lazy: env QWEN3_TTS_CODEPRED, default auto
+_IMPL_VALID = ("auto", "fused", "fused_interpret", "xla")
+
+
+def set_codepred_impl(impl: str | None) -> None:
+    """Override QWEN3_TTS_CODEPRED ('auto' | 'fused' | 'fused_interpret'
+    | 'xla'). None resets to the environment value. Trace-time only —
+    see the stale-executable caveat above."""
+    global _IMPL
+    if impl is not None and impl not in _IMPL_VALID:
+        raise ValueError(f"impl must be one of {_IMPL_VALID}")
+    _IMPL = impl
+
+
+def _resolve_impl() -> str:
+    if _IMPL is not None:
+        return _IMPL
+    import os
+    impl = os.environ.get("QWEN3_TTS_CODEPRED", "auto")
+    return impl if impl in _IMPL_VALID else "auto"
+
 
 def _mtp(cp, x: jax.Array) -> jax.Array:
     """Talker-space -> code-pred-space projection (1.7B only;
@@ -52,6 +77,29 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
     n_steps = cfg.n_codebooks - 1          # 15
     ctx = n_steps + 1                      # 16 (init_code_pred_kv_cache(16))
     B = hidden.shape[0]
+
+    # Fused megakernel dispatch (ops/codepred_fused.py): one Pallas
+    # program for the whole frame — the mirror of the reference's
+    # single-sync TRT loop (trt_code_predictor.cpp:484-600). Same
+    # distribution; sampled draws use Gumbel-argmax instead of the XLA
+    # path's categorical, so the streams differ for the same key.
+    impl = _resolve_impl()
+    if impl != "xla":
+        from ..ops import codepred_fused
+        ok = codepred_fused.supported(cfg, B, w)
+        if impl in ("fused", "fused_interpret"):
+            if not ok:
+                raise ValueError(
+                    "QWEN3_TTS_CODEPRED=fused but the fused kernel does "
+                    "not support this config/batch (see codepred_fused"
+                    ".supported)")
+            return codepred_fused.predict_codes_fused(
+                w, cfg, hidden, cb0, temperature, top_k, key,
+                greedy=greedy, interpret=(impl == "fused_interpret"))
+        if ok and jax.default_backend() == "tpu":       # auto
+            return codepred_fused.predict_codes_fused(
+                w, cfg, hidden, cb0, temperature, top_k, key,
+                greedy=greedy)
 
     x0 = hidden.astype(jnp.float32)
     # gather rows first, cast after (never convert the whole table)

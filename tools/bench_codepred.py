@@ -1,10 +1,8 @@
 #!/usr/bin/env python3
-"""Where does the code predictor's time go? (round-3 megakernel scoping)
+"""Where does the code predictor's time go? (megakernel A/B)
 
-The 16-step code predictor costs ~7.7 ms/frame at B=64 (NOTES.md round 2)
-against a ~3.1 ms weight-read floor (16 steps x 157 MB of bf16 layer
-weights / ~800 GB/s HBM). Before writing a Pallas megakernel, isolate
-what the 4.6 ms gap is made of:
+The 16-step code predictor runs against a ~3.2 ms/frame weight-read
+floor (16 steps x ~158 MB of bf16 weights / ~800 GB/s HBM). Variants:
 
   full       predict_codes (production, sampled)
   greedy     predict_codes greedy (drops top-k/softmax/CDF per step)
@@ -14,11 +12,18 @@ what the 4.6 ms gap is made of:
              matter)
   nohead     matmul skeleton without the lm_head matmul (floor check)
 
-Each variant runs inside a lax.scan over `--frames` iterations, jitted
-once, so per-dispatch tunnel overhead (1-200 ms!) cannot distort the
-per-frame numbers (same methodology as tools/bench_attention.py).
+SLOPE TIMING (NOTES.md round 3): every host sync through the axon
+tunnel costs ~28-36 ms of RTT, so total/frames at one frame count
+carries a +RTT/frames bias (an 8-frame scan reads 7.9 ms/frame when the
+truth is 4.3). Each variant is timed at TWO scan lengths (--frames and
+5x --frames) and the reported per-frame cost is the slope
+(t_long - t_short)/(F_long - F_short); the intercept (printed) is the
+sync tax.
 
-Usage: python tools/bench_codepred.py [--batch 64] [--frames 8] [--iters 5]
+--impl {auto,xla,fused} selects the predict_codes implementation
+(models/code_predictor.set_codepred_impl; fused = ops/codepred_fused).
+
+Usage: python tools/bench_codepred.py [--batch 64] [--impl auto]
 """
 
 from __future__ import annotations
@@ -39,9 +44,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--frames", type=int, default=8,
-                    help="frames per jitted scan")
+                    help="short scan length (long = 5x this)")
     ap.add_argument("--iters", type=int, default=5,
-                    help="timed repetitions (median reported)")
+                    help="timed repetitions per length (median reported)")
+    ap.add_argument("--impl", default="auto",
+                    choices=("auto", "xla", "fused", "fused_interpret"))
     args = ap.parse_args()
 
     import jax
@@ -59,6 +66,7 @@ def main():
 
     cfg = TalkerConfig()
     B = args.batch
+    code_predictor.set_codepred_impl(args.impl)
     w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
     cp = w["code_pred"]
 
@@ -69,8 +77,8 @@ def main():
     cb0 = jnp.zeros((B,), jnp.int32)
 
     # -- full / greedy: the production function, scanned over frames ----
-    @partial(jax.jit, static_argnames=("greedy",))
-    def run_frames(w, hidden, cb0, key, greedy):
+    @partial(jax.jit, static_argnames=("greedy", "frames"))
+    def run_frames(w, hidden, cb0, key, greedy, frames):
         def frame(carry, _):
             hidden, cb0, key = carry
             key, sub = jax.random.split(key)
@@ -80,15 +88,15 @@ def main():
             # feed something data-dependent back so nothing is DCE'd
             return (hidden + codes.sum() * 1e-9, cb0, key), None
         (h, _, _), _ = jax.lax.scan(frame, (hidden, cb0, key), None,
-                                    length=args.frames)
+                                    length=frames)
         return h
 
     # -- matmul skeleton: identical weight bytes, nothing else ----------
     L = cfg.code_pred_layers
     n_steps = cfg.n_codebooks - 1
 
-    @jax.jit
-    def run_matmul(w, hidden, with_head=True):
+    @partial(jax.jit, static_argnames=("with_head", "frames"))
+    def run_matmul(w, hidden, with_head, frames):
         cp = w["code_pred"]
 
         def frame(carry, _):
@@ -119,30 +127,49 @@ def main():
             x, _ = jax.lax.scan(step, x, jnp.arange(n_steps, dtype=jnp.int32))
             return x, None
 
-        x, _ = jax.lax.scan(frame, hidden, None, length=args.frames)
+        x, _ = jax.lax.scan(frame, hidden, None, length=frames)
         return x
 
-    run_nohead = jax.jit(lambda w, h: run_matmul.__wrapped__(w, h, False))
+    F_SHORT, F_LONG = args.frames, args.frames * 5
 
-    def bench(name, fn, *a, **k):
-        out = fn(*a, **k)
-        sync(out)  # compile
-        ts = []
-        for _ in range(args.iters):
-            t0 = time.monotonic()
-            out = fn(*a, **k)
-            sync(out)
-            ts.append((time.monotonic() - t0) * 1e3 / args.frames)
-        med = sorted(ts)[len(ts) // 2]
-        log(f"{name:>8}: {med:6.2f} ms/frame at B={B} "
-            f"({', '.join(f'{t:.2f}' for t in ts)})")
-        return med
+    def bench(name, fn, *a):
+        """Slope timing: median total at two scan lengths; per-frame =
+        slope (cancels the ~30 ms tunnel sync tax, NOTES.md round 3)."""
+        tot = {}
+        for F in (F_SHORT, F_LONG):
+            out = fn(*a, F)
+            sync(out)  # compile
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.monotonic()
+                out = fn(*a, F)
+                sync(out)
+                ts.append((time.monotonic() - t0) * 1e3)
+            tot[F] = sorted(ts)[len(ts) // 2]
+        slope = (tot[F_LONG] - tot[F_SHORT]) / (F_LONG - F_SHORT)
+        tax = tot[F_SHORT] - F_SHORT * slope
+        log(f"{name:>8}: {slope:6.2f} ms/frame at B={B} "
+            f"(sync tax {tax:5.1f} ms; totals {tot[F_SHORT]:.1f}/"
+            f"{tot[F_LONG]:.1f} ms at F={F_SHORT}/{F_LONG})")
+        return slope
 
     key = jax.random.PRNGKey(1)
-    full = bench("full", run_frames, w, hidden, cb0, key, False)
-    greedy = bench("greedy", run_frames, w, hidden, cb0, key, True)
-    mm = bench("matmul", run_matmul, w, hidden)
-    nh = bench("nohead", run_nohead, w, hidden)
+    full = bench("full",
+                 lambda w_, h_, c_, k_, F: run_frames(
+                     w_, h_, c_, k_, greedy=False, frames=F),
+                 w, hidden, cb0, key)
+    greedy = bench("greedy",
+                   lambda w_, h_, c_, k_, F: run_frames(
+                       w_, h_, c_, k_, greedy=True, frames=F),
+                   w, hidden, cb0, key)
+    mm = bench("matmul",
+               lambda w_, h_, F: run_matmul(w_, h_, with_head=True,
+                                            frames=F),
+               w, hidden)
+    nh = bench("nohead",
+               lambda w_, h_, F: run_matmul(w_, h_, with_head=False,
+                                            frames=F),
+               w, hidden)
 
     log(f"\nsampling (full-greedy):        {full-greedy:6.2f} ms/frame")
     log(f"attn/norm/rope/gather (greedy-matmul): {greedy-mm:6.2f} ms/frame")
