@@ -65,8 +65,13 @@ def main() -> None:
 
     def sync(x):
         # block_until_ready is unreliable on the experimental axon
-        # platform; a host transfer is a true fence
-        jax.device_get(jax.tree.leaves(x)[-1])
+        # platform; a host transfer is a true fence. Read ONE element,
+        # not the whole array: the tunnel downloads at 24-36 MB/s
+        # (NOTES.md round 3), so a full-leaf device_get of the B=160
+        # audio batch (49 MB f32) costs ~2 s of pure network time and
+        # was inflating BENCH_r02's timed sections by 6-12 ms/frame.
+        leaf = jax.tree.leaves(x)[-1]
+        jax.device_get(leaf.ravel()[:1])
 
     from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
     from qwen3_tts_tpu.models import talker, vocoder
@@ -211,11 +216,22 @@ def main() -> None:
     # schedule) — generation chunk k+1 is dispatched before chunk k's
     # codes are host-read and vocoder-decoded, so the device queue runs
     # gen k+1 | voc k back-to-back with no host-turnaround bubble.
+    def prefetch(a):
+        # start the host copy at dispatch: it streams as soon as the
+        # producing chunk computes, so the later np.asarray is ~free
+        # (0.8 ms vs 45 ms blocking read of the [40,B,16] codes)
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+
     def pipelined_run(state):
         t0 = time.monotonic()
         state, codes_d, _ = run_chunk(state)
+        prefetch(codes_d)
         for _ in range(args.chunks):
             state, codes_next, _ = run_chunk(state)      # enqueue gen k+1
+            prefetch(codes_next)
             codes_h = np.asarray(codes_d)                # read chunk k
             audio = voc_decode(vcodes)                   # voc chunk k
             codes_d = codes_next

@@ -111,7 +111,7 @@ class ContinuousBatcher:
         prefill = prefill._replace(
             trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
         self._steps_done = 0
-        self._inflight = None  # (codes, valid) of the enqueued gen chunk
+        self._inflight = None  # (codes, valid, done) of the enqueued chunk
         seed = self.params.seed if self.params.seed is not None else 0
         from .generate import kv_quant_enabled
         self.state = init_state(self.engine.talker_w, cfg, prefill,
@@ -320,7 +320,19 @@ class ContinuousBatcher:
             greedy=self.params.temperature <= 0.0, read_ctx=read_ctx,
             ring=self.use_ring)
         self._steps_done += CHUNK_FRAMES
-        self._inflight = (codes, valid)
+        # snapshot done at dispatch (the live self.state may advance past
+        # this chunk before the host reads it) and start the host copies
+        # NOW: the transfers stream as soon as the chunk computes, so the
+        # blocking np.asarray at the top of the next step() finds the
+        # data already local instead of paying a ~30 ms tunnel round trip
+        # per array (NOTES.md round 3).
+        done = self.state.done
+        for a in (codes, valid, done):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # platform without async host copies
+        self._inflight = (codes, valid, done)
 
     def step(self) -> dict[int, TTSResult]:
         """Process one 40-frame chunk across all slots; admit queued
@@ -383,16 +395,20 @@ class ContinuousBatcher:
         return out
 
     def _step_impl(self) -> dict[int, TTSResult]:
+        timing = os.environ.get("QWEN3_TTS_SERVE_TIMING") == "1"
+        t = time.monotonic
+        t0 = t()
         if self._inflight is None:
             self._admit_pending()
             if not any(s.busy for s in self.slots):
                 return {}
             self._dispatch_chunk()
-        codes_d, valid_d = self._inflight
+        codes_d, valid_d, done_d = self._inflight
         self._inflight = None
         codes_h = np.asarray(codes_d)    # [chunk, B, 16]
         valid_h = np.asarray(valid_d)    # [chunk, B]
-        done_h = np.asarray(self.state.done)
+        done_h = np.asarray(done_d)
+        t_read = t()
 
         live: list[_Slot] = []
         retired: list[_Slot] = []
@@ -420,14 +436,28 @@ class ContinuousBatcher:
             else:
                 live.append(slot)
 
+        t_slots = t()
         # admissions first so freed slots join the very next chunk, then
         # enqueue that chunk BEFORE the vocoder decode of this one
         self._admit_pending()
+        t_admit = t()
         if any(s.busy for s in self.slots):
             self._dispatch_chunk()
+        t_gen = t()
         self._decode_slots(live, retired)
+        t_dec = t()
         out = {slot.request_id: self._finalize(slot) for slot in retired}
         self._retiring = []
+        if timing:
+            import sys
+            print(f"[serve.step] read {1e3*(t_read-t0):.0f} slots "
+                  f"{1e3*(t_slots-t_read):.0f} admit "
+                  f"{1e3*(t_admit-t_slots):.0f} gen-dispatch "
+                  f"{1e3*(t_gen-t_admit):.0f} decode "
+                  f"{1e3*(t_dec-t_gen):.0f} finalize "
+                  f"{1e3*(t()-t_dec):.0f} ms "
+                  f"(live {len(live)} retired {len(retired)})",
+                  file=sys.stderr, flush=True)
         return out
 
     def _decode_slots(self, live: list[_Slot], retired: list[_Slot]) -> None:
