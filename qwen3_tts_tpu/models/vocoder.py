@@ -44,6 +44,12 @@ _RES_VALID = ("auto", "fused", "fused_interpret", "xla")
 
 
 def set_res_chain_impl(impl: str) -> None:
+    """Select the decoder residual-chain implementation.
+
+    TRACE-TIME switch: jitted callers bake the impl into their compiled
+    executables — calling this after a vocoder graph has compiled has NO
+    effect on the cached executables (including AOT-cache artifacts).
+    Set it before the first decode, or restart the process to switch."""
     global _RES_IMPL
     if impl not in _RES_VALID:
         raise ValueError(f"impl must be one of {_RES_VALID}")
@@ -118,6 +124,12 @@ _SIN2_IMPL = "fast"
 
 
 def set_snake_sin2_impl(impl: str) -> None:
+    """Select snake's sin^2: 'fast' (fast_sin2 polynomial, err <= 3.5e-7,
+    the process-wide default — both the serving and GGML-parity paths)
+    or 'exact' (jnp.sin).
+
+    TRACE-TIME switch like set_res_chain_impl: has no effect on already-
+    compiled (or AOT-cached) executables; set before the first decode."""
     global _SIN2_IMPL
     if impl not in ("fast", "exact"):
         raise ValueError("impl must be 'fast' or 'exact'")

@@ -60,9 +60,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024          # K/N dimension of one streamed weight tile
-NBUF = 8             # VMEM tile-ring depth (16 MB of bf16 tiles)
 CTX = 16             # positions per frame (1 hidden + 1 cb0 + 14 codes)
 NEG = -1.0e30        # finite -inf stand-in (avoids NaN via inf-inf)
+
+# Max batch for a single kernel invocation: past this the VMEM KV
+# scratch (B * 320 KB) + transients no longer fit next to the tile ring;
+# predict_codes_fused splits larger batches into sequential halves.
+MAX_SINGLE_B = 192
+
+
+def _nbuf(B: int) -> int:
+    """Weight-tile ring depth: 8 (16 MB) while VMEM allows, 4 (8 MB)
+    at B=192 where the KV scratch (61 MB) crowds it out."""
+    return 8 if B <= 160 else 4
 
 # Reference code-predictor architecture this kernel is specialized to
 # (tts_transformer.h:43-49; anything else falls back to the XLA path).
@@ -77,17 +87,23 @@ _LAYER_TILES = 15
 
 def vmem_bytes(B: int, n_layers: int = L_DEFAULT) -> int:
     """Static VMEM budget estimate for the kernel at batch B."""
-    ring = NBUF * TILE * TILE * 2
+    ring = _nbuf(B) * TILE * TILE * 2
     kv = 2 * n_layers * CTX * B * NKV * D * 2
     gumbel = B * V * 4
     transients = B * (4 * NQ + 2 * I + 4 * V + 8 * H) * 4   # rough
     return ring + kv + gumbel + transients
 
 
+def _fits(B: int, n_layers: int) -> bool:
+    return B % 8 == 0 and vmem_bytes(B, n_layers) < 100 * 1024 * 1024
+
+
 def supported(cfg, B: int, w) -> bool:
     """Kernel preconditions: reference dims, fused wqkv layout (tp=1),
-    no mtp projection (0.6B), batch multiple of 8, VMEM fit."""
+    no mtp projection (0.6B), batch multiple of 8, VMEM fit — either
+    directly or as two sequential halves (B > MAX_SINGLE_B)."""
     cp = w["code_pred"]
+    L = cfg.code_pred_layers
     return (
         cp.get("mtp_w") is None
         and "wqkv" in cp["layers"]
@@ -98,8 +114,8 @@ def supported(cfg, B: int, w) -> bool:
         and cfg.code_pred_intermediate_size == I
         and cfg.code_pred_vocab_size == V
         and cfg.n_codebooks == CTX
-        and B % 8 == 0
-        and vmem_bytes(B, cfg.code_pred_layers) < 100 * 1024 * 1024
+        and (_fits(B, L) if B <= MAX_SINGLE_B
+             else (B % 16 == 0 and _fits(B // 2, L)))
     )
 
 
@@ -161,6 +177,7 @@ def _make_kernel(B: int, n_layers: int, eps: float, greedy: bool,
     """Build the kernel body (python-staged; the 16-step loop is a
     lax.fori_loop, the 5-layer and 80-tile loops are unrolled)."""
     NT = 2 + n_layers * _LAYER_TILES + 2 + 1    # tiles per step (80)
+    NBUF = _nbuf(B)
 
     def kernel(xs_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref, heads_ref,
                tables_ref, attn_norm_ref, ffn_norm_ref, q_norm_ref,
@@ -375,8 +392,8 @@ def _build_call(B: int, n_layers: int, eps: float, greedy: bool,
         ],
         out_specs=vmem,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, TILE, TILE), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((_nbuf(B), TILE, TILE), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_nbuf(B),)),
             pltpu.VMEM((n_layers, CTX, B, NKV, D), jnp.bfloat16),
             pltpu.VMEM((n_layers, CTX, B, NKV, D), jnp.bfloat16),
             pltpu.VMEM((B, 1), jnp.int32),
@@ -402,6 +419,19 @@ def predict_codes_fused(w, cfg, hidden: jax.Array, cb0: jax.Array,
     """
     cp = w["code_pred"]
     B = hidden.shape[0]
+    if B > MAX_SINGLE_B:
+        # two sequential half-batch kernel invocations (VMEM KV scratch
+        # is B-proportional); the sampled stream differs from the unsplit
+        # kernel's (independent sub-keys) but the law is identical.
+        half = B // 2
+        k1, k2 = jax.random.split(key)
+        lo = predict_codes_fused(w, cfg, hidden[:half], cb0[:half],
+                                 temperature, top_k, k1, greedy=greedy,
+                                 interpret=interpret)
+        hi = predict_codes_fused(w, cfg, hidden[half:], cb0[half:],
+                                 temperature, top_k, k2, greedy=greedy,
+                                 interpret=interpret)
+        return jnp.concatenate([lo, hi], axis=0)
     lw = cp["layers"]
     wqkv_p, wo_p = _permute_gqa_weights(lw["wqkv"], lw["wo"])
     L = wqkv_p.shape[0]

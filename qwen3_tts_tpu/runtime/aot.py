@@ -138,16 +138,30 @@ class AotCache:
                  f"{str(e)[:120]})")
             return False
 
-    def get_or_compile(self, key: str, jitted_fn, *args, **kwargs):
+    def get_or_compile(self, key: str, jitted_fn, *args, retries: int = 2,
+                       **kwargs):
         """Return a callable for `jitted_fn` at these arg shapes: the
         deserialized artifact when present, else lower+compile (and
         persist). Call the result with the DYNAMIC args only (static
-        jit args are baked into the executable)."""
+        jit args are baked into the executable).
+
+        Compiles are retried (the axon remote-compile helpers return
+        flaky HTTP 500s on ~40% of Pallas compiles, NOTES.md; a retry
+        usually succeeds)."""
         hit = self.load(key)
         if hit is not None:
             return hit
         t0 = time.monotonic()
-        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        for attempt in range(retries + 1):
+            try:
+                compiled = jitted_fn.lower(*args, **kwargs).compile()
+                break
+            except Exception as e:
+                if attempt == retries:
+                    raise
+                _log(f"compile of {key} failed ({type(e).__name__}: "
+                     f"{str(e)[:120]}); retry {attempt + 1}/{retries}")
+                time.sleep(2.0)
         _log(f"compiled {key} ({time.monotonic()-t0:.1f} s)")
         self.save(key, compiled)
         return _LoadedExec(compiled)

@@ -487,10 +487,10 @@ class Qwen3TTS:
         the device->host transfer overlaps subsequent device compute
         and moves half the bytes (int16 is the WAV payload anyway)."""
         n = len(codes)
+        codes_j = jnp.asarray(codes, jnp.int32)
         if n <= self.VOC_MAX_BATCH:
-            out = vocoder.vocoder_decode(
-                self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
-                trim="causal", pcm16=pcm16)
+            out = self._voc_fn(n, codes.shape[1], None, pcm16)(
+                self.voc_w, codes_j)
             return out if pcm16 else np.asarray(out)
         # one dispatch for the whole wave: lax.map over the largest
         # sub-batch size dividing n (dispatches through the axon tunnel
@@ -498,10 +498,61 @@ class Qwen3TTS:
         # 3.5x slower than its own compute under tunnel load)
         sub = next(d for d in (self.VOC_MAX_BATCH, 32, 16, 8, 4, 2, 1)
                    if n % d == 0)
-        out = vocoder.vocoder_decode_subbatched(
-            self.voc_w, self.voc_cfg, jnp.asarray(codes, jnp.int32),
-            trim="causal", pcm16=pcm16, sub=sub)
+        out = self._voc_fn(n, codes.shape[1], sub, pcm16)(
+            self.voc_w, codes_j)
         return out if pcm16 else np.asarray(out)
+
+    # -- AOT executable cache (runtime/aot.py) -------------------------
+    @property
+    def aot(self):
+        """Serving-hot executables (vocoder decode buckets, generation
+        chunks, admissions) serialize to disk so a fresh process skips
+        the 20-70 s remote-tunnel compiles — the TPU analogue of the
+        reference shipping prebuilt TRT engines (trt_vocoder.cpp:26-96,
+        trt_code_predictor.cpp:89-166). QWEN3_TTS_AOT=0 disables."""
+        cache = getattr(self, "_aot_cache", None)
+        if cache is None:
+            from .aot import AotCache
+            cache = self._aot_cache = AotCache()
+        return cache
+
+    def model_tag(self) -> str:
+        """Short stable tag of model dims + weight dtypes: part of every
+        AOT artifact key so artifacts never collide across configs."""
+        tag = getattr(self, "_model_tag", None)
+        if tag is None:
+            import hashlib
+            import jax as _jax
+            dt = [str(_jax.tree.leaves(w)[0].dtype) if w else "na"
+                  for w in (self.voc_w, self.talker_w)]
+            src = repr((self.talker_cfg, self.voc_cfg, dt))
+            tag = self._model_tag = hashlib.md5(
+                src.encode()).hexdigest()[:8]
+        return tag
+
+    def _voc_fn(self, n: int, frames: int, sub: int | None, pcm16: bool):
+        """Memoized AOT-cached executable for one causal chunk-decode
+        shape. Dynamic args at call time: (voc_w, codes)."""
+        memo = getattr(self, "_voc_execs", None)
+        if memo is None:
+            memo = self._voc_execs = {}
+        mkey = (n, frames, sub, pcm16)
+        fn = memo.get(mkey)
+        if fn is not None:
+            return fn
+        ex = jnp.zeros((n, frames, self.voc_cfg.n_codebooks), jnp.int32)
+        key = (f"voc-{self.model_tag()}-n{n}-f{frames}-s{sub or 0}"
+               f"-p{int(pcm16)}")
+        if sub is None:
+            fn = self.aot.get_or_compile(
+                key, vocoder.vocoder_decode, self.voc_w, self.voc_cfg,
+                ex, trim="causal", pcm16=pcm16)
+        else:
+            fn = self.aot.get_or_compile(
+                key, vocoder.vocoder_decode_subbatched, self.voc_w,
+                self.voc_cfg, ex, trim="causal", pcm16=pcm16, sub=sub)
+        memo[mkey] = fn
+        return fn
 
     @property
     def _readback_pool(self):

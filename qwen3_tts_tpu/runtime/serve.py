@@ -89,6 +89,10 @@ class ContinuousBatcher:
                 "only to cross-check ring-mode outputs.",
                 file=sys.stderr, flush=True)
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
+        # AOT-cached executables for the serving-hot jitted calls
+        # (generation buckets, admissions, park), keyed by every
+        # shape-determining parameter. See Qwen3TTS.aot.
+        self._execs: dict = {}
         self._reset_state()
 
     def _reset_state(self) -> None:
@@ -144,10 +148,10 @@ class ContinuousBatcher:
                                          tok, tlen, spk1)
         pf = pf._replace(trailing_hidden=self._pad_trailing(
             pf.trailing_hidden))
-        self.state, self.consts = admit_slots(
-            self.engine.talker_w, self.cfg, self.state, self.consts,
-            jnp.zeros((K,), jnp.int32), pf)
-        self.state = park_slot(self.state, jnp.int32(0))
+        slots0 = jnp.zeros((K,), jnp.int32)
+        self.state, self.consts = self._admit_fn(slots0, pf)(
+            self.engine.talker_w, self.state, self.consts, slots0, pf)
+        self.state = self._park_fn()(self.state, jnp.int32(0))
 
         # generation at every read-ctx bucket coverage can reach
         buckets: list[int] = []
@@ -161,11 +165,8 @@ class ContinuousBatcher:
                 break
             steps += CHUNK_FRAMES
         for rc in buckets:
-            self.state, _, _ = generate_chunk(
-                self.engine.talker_w, self.cfg, self.state, self.consts,
-                self.params.top_k, CHUNK_FRAMES,
-                greedy=self.params.temperature <= 0.0, read_ctx=rc,
-                ring=self.use_ring)
+            self.state, _, _ = self._gen_fn(rc)(
+                self.engine.talker_w, self.state, self.consts)
 
         # vocoder at every decode-batch bucket
         if self.engine.voc_w is not None:
@@ -188,6 +189,58 @@ class ContinuousBatcher:
         print(f"  Serving warmup: {len(buckets)} gen bucket(s) + "
               f"vocoder buckets compiled in {time.monotonic()-t0:.1f} s",
               file=sys.stderr, flush=True)
+
+    # -- AOT-cached executables ----------------------------------------
+    def _key_base(self) -> str:
+        from .generate import kv_quant_enabled
+        mesh = getattr(self.engine, "mesh", None)
+        mtag = (f"-m{mesh.shape.get('dp', 1)}x{mesh.shape.get('tp', 1)}"
+                if mesh is not None else "")
+        return (f"{self.engine.model_tag()}-b{self.n_slots}-c{self.ctx}"
+                f"-q{int(kv_quant_enabled())}{mtag}")
+
+    def _gen_fn(self, read_ctx: int):
+        """Compiled generation-chunk executable for one read-ctx bucket.
+        Dynamic args: (talker_w, state, consts); state is donated."""
+        mkey = ("gen", read_ctx, self.trailing_buf)
+        fn = self._execs.get(mkey)
+        if fn is None:
+            greedy = self.params.temperature <= 0.0
+            name = (f"gen-{self._key_base()}-rc{read_ctx}"
+                    f"-k{self.params.top_k}-g{int(greedy)}"
+                    f"-r{int(self.use_ring)}-t{self.trailing_buf}")
+            fn = self.engine.aot.get_or_compile(
+                name, generate_chunk, self.engine.talker_w, self.cfg,
+                self.state, self.consts, self.params.top_k, CHUNK_FRAMES,
+                greedy=greedy, read_ctx=read_ctx, ring=self.use_ring)
+            self._execs[mkey] = fn
+        return fn
+
+    def _admit_fn(self, slots_arr, prefill):
+        """Compiled admit_slots executable for this token-bucket shape.
+        Dynamic args: (talker_w, state, consts, slots, prefill); state
+        and consts are donated."""
+        t_max = prefill.prefill_embd.shape[1]
+        mkey = ("admit", t_max, self.trailing_buf)
+        fn = self._execs.get(mkey)
+        if fn is None:
+            name = (f"admit-{self._key_base()}-p{t_max}"
+                    f"-t{self.trailing_buf}")
+            fn = self.engine.aot.get_or_compile(
+                name, admit_slots, self.engine.talker_w, self.cfg,
+                self.state, self.consts, slots_arr, prefill)
+            self._execs[mkey] = fn
+        return fn
+
+    def _park_fn(self):
+        mkey = ("park",)
+        fn = self._execs.get(mkey)
+        if fn is None:
+            fn = self.engine.aot.get_or_compile(
+                f"park-{self._key_base()}", park_slot, self.state,
+                jnp.int32(0))
+            self._execs[mkey] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def _ensure_trailing_capacity(self, n_rows: int) -> None:
@@ -293,9 +346,10 @@ class ContinuousBatcher:
         self._ensure_trailing_capacity(prefill.trailing_hidden.shape[1])
         prefill = prefill._replace(
             trailing_hidden=self._pad_trailing(prefill.trailing_hidden))
-        self.state, self.consts = admit_slots(
-            self.engine.talker_w, cfg, self.state, self.consts,
-            jnp.asarray(slots_arr), prefill)
+        slots_j = jnp.asarray(slots_arr)
+        self.state, self.consts = self._admit_fn(slots_j, prefill)(
+            self.engine.talker_w, self.state, self.consts, slots_j,
+            prefill)
         for j in range(take):
             rid, _, _, on_audio = batch[j]
             self.slots[slot_ids[j]] = _Slot(
@@ -314,11 +368,8 @@ class ContinuousBatcher:
         else:
             read_ctx = ctx_bucket(int(np.asarray(self.state.n_past).max()),
                                   CHUNK_FRAMES, self.ctx)
-        self.state, codes, valid = generate_chunk(
-            self.engine.talker_w, self.cfg, self.state, self.consts,
-            self.params.top_k, CHUNK_FRAMES,
-            greedy=self.params.temperature <= 0.0, read_ctx=read_ctx,
-            ring=self.use_ring)
+        self.state, codes, valid = self._gen_fn(read_ctx)(
+            self.engine.talker_w, self.state, self.consts)
         self._steps_done += CHUNK_FRAMES
         # snapshot done at dispatch (the live self.state may advance past
         # this chunk before the host reads it) and start the host copies
@@ -430,7 +481,7 @@ class ContinuousBatcher:
                 if not bool(done_h[b]):
                     # retired by the frame cap, not EOS: stop the device
                     # stream so its cache position freezes
-                    self.state = park_slot(self.state, jnp.int32(b))
+                    self.state = self._park_fn()(self.state, jnp.int32(b))
                 retired.append(slot)
                 self.slots[b] = _Slot()  # free before admissions
             else:

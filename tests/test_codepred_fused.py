@@ -270,3 +270,31 @@ def test_dispatch_env(weights, inputs):
                                        jnp.float32(0.9), 50,
                                        jax.random.PRNGKey(3), greedy=True)
     np.testing.assert_array_equal(np.asarray(xla), np.asarray(ref))
+
+
+def test_split_batch_matches_single(weights, inputs, monkeypatch):
+    """B > MAX_SINGLE_B splits into two sequential half-batch kernels;
+    greedy output must equal the two halves run independently (the
+    split is a pure batch concatenation). Split support needs B%16
+    (halves stay %8)."""
+    hidden, cb0 = inputs                      # B=8 rows, tiled to 16
+    h16 = jnp.concatenate([hidden, hidden * 0.7], axis=0)
+    c16 = jnp.concatenate([cb0, (cb0 + 5) % CFG.code_pred_vocab_size],
+                          axis=0)
+    monkeypatch.setattr(cf, "MAX_SINGLE_B", 8)
+    assert cf.supported(CFG, 16, weights)     # split path supported
+    assert not cf.supported(CFG, 24, weights)  # halves not %8... (12%8)
+    split = cf.predict_codes_fused(weights, CFG, h16, c16,
+                                   jnp.float32(0.9), 50,
+                                   jax.random.PRNGKey(3),
+                                   greedy=True, interpret=True)
+    lo = cf.predict_codes_fused(weights, CFG, h16[:8], c16[:8],
+                                jnp.float32(0.9), 50,
+                                jax.random.PRNGKey(3),
+                                greedy=True, interpret=True)
+    hi = cf.predict_codes_fused(weights, CFG, h16[8:], c16[8:],
+                                jnp.float32(0.9), 50,
+                                jax.random.PRNGKey(3),
+                                greedy=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(split), np.concatenate([np.asarray(lo), np.asarray(hi)]))

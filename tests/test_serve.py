@@ -234,3 +234,37 @@ def test_queued_requests_survive_step_failure(engine, monkeypatch):
     assert set(results) == {r1, r2}
     assert not results[r1].success
     assert results[r2].success
+
+
+def test_aot_artifacts_reload_across_batchers(engine, tmp_path, monkeypatch):
+    """A second batcher over the SAME AOT dir deserializes the serving
+    executables instead of compiling and produces identical greedy
+    output — the reference's prebuilt-engine reload semantics
+    (trt_vocoder.cpp:26-96) at the serving layer."""
+    from qwen3_tts_tpu.runtime.aot import AotCache
+
+    # fresh engine-level cache pointed at tmp_path
+    monkeypatch.setattr(engine, "_aot_cache", AotCache(tmp_path), raising=False)
+    monkeypatch.setattr(engine, "_voc_execs", {}, raising=False)
+    cb1 = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=8)
+    r1 = cb1.submit("hello world.")
+    out1 = cb1.run_all()
+    arts = list(tmp_path.glob("*.jaxexec"))
+    assert arts, "no AOT artifacts were persisted by the serving path"
+    names = {p.name.split("-")[0] for p in arts}
+    assert "gen" in names and "admit" in names and "voc" in names
+
+    # second batcher: same dir -> loads, never compiles anew
+    monkeypatch.setattr(engine, "_voc_execs", {}, raising=False)
+    loads = []
+    orig_load = AotCache.load
+    def counting_load(self, key):
+        fn = orig_load(self, key)
+        loads.append((key, fn is not None))
+        return fn
+    monkeypatch.setattr(AotCache, "load", counting_load)
+    cb2 = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=8)
+    r2 = cb2.submit("hello world.")
+    out2 = cb2.run_all()
+    assert loads and all(hit for _, hit in loads), loads
+    np.testing.assert_array_equal(out1[r1].audio, out2[r2].audio)
