@@ -89,6 +89,13 @@ class ContinuousBatcher:
                 "only to cross-check ring-mode outputs.",
                 file=sys.stderr, flush=True)
         self.ctx = required_ctx_ring(max_frames, CHUNK_FRAMES)
+        # Memory-aware vocoder decode cap: past ~96 slots the talker KV
+        # cache + an in-flight gen chunk leave no room for 48-wide
+        # 76.8k-sample tail activations (measured OOM at B=224 with
+        # 16-wide next to the pipelined gen chunk — bench.py VOC_SUB).
+        self.engine.VOC_MAX_BATCH = (48 if n_slots <= 96 else
+                                     32 if n_slots <= 128 else
+                                     16 if n_slots <= 192 else 8)
         # AOT-cached executables for the serving-hot jitted calls
         # (generation buckets, admissions, park), keyed by every
         # shape-determining parameter. See Qwen3TTS.aot.
