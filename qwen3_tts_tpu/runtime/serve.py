@@ -74,6 +74,12 @@ class ContinuousBatcher:
         self._results: dict[int, TTSResult] = {}
         self._failed: dict[int, TTSResult] = {}
         self._retiring: list[_Slot] = []
+        # retired slots whose audio readbacks are still in flight: their
+        # results are emitted by a LATER step() once the transfers land,
+        # so the dispatch loop never blocks on the device->host audio
+        # link (measured 1.0-1.6 s per retire wave at 96 slots — the
+        # single biggest serving-throughput cost, NOTES.md round 3)
+        self._finalizing: list[_Slot] = []
 
         # ring-slot cache: prefill region + ring sized for max_frames.
         # QWEN3_TTS_RING=0 falls back to per-stream scatter writes.
@@ -137,27 +143,33 @@ class ContinuousBatcher:
             self.state = shard_gen_state(self.state, mesh)
             self.consts = shard_consts(self.consts, mesh)
 
-    def warmup(self) -> None:
+    def warmup(self, token_buckets: tuple[int, ...] = (16,)) -> None:
         """Precompile every executable the serving loop can hit, so no
         request pays a compile stall: the generation chunk at each
-        read-ctx bucket, slot admission, and the vocoder at each decode
-        bucket. The TPU analogue of the reference's warmup_cublas +
-        prebuilt engines (trt_code_predictor.cpp:272-292). Through the
-        remote-compile tunnel each of these costs 20-70 s the first time
-        (persistently cached across processes afterwards)."""
+        read-ctx bucket, slot admission at each of `token_buckets`
+        (text-token counts round up to 16-multiples; warm the buckets
+        your texts actually hit — an unwarmed bucket costs one 30-90 s
+        tunnel compile mid-serve the first time, AOT-cached afterwards),
+        and the vocoder at each decode bucket. The TPU analogue of the
+        reference's warmup_cublas + prebuilt engines
+        (trt_code_predictor.cpp:272-292). With AOT artifacts on disk the
+        whole warmup is deserialization: measured 14.9 s vs 545 s cold
+        at 96 slots (NOTES.md round 3)."""
         t0 = time.monotonic()
         # admission path (batched, fixed K=n_slots shape)
         K = self.n_slots
-        tok = jnp.zeros((K, 16), jnp.int32)
-        tlen = jnp.full((K,), 16, jnp.int32)
-        spk1 = jnp.zeros((K, self.cfg.hidden_size), jnp.float32)
-        pf = talker.build_prefill_inputs(self.engine.talker_w, self.cfg,
-                                         tok, tlen, spk1)
-        pf = pf._replace(trailing_hidden=self._pad_trailing(
-            pf.trailing_hidden))
-        slots0 = jnp.zeros((K,), jnp.int32)
-        self.state, self.consts = self._admit_fn(slots0, pf)(
-            self.engine.talker_w, self.state, self.consts, slots0, pf)
+        for tb in token_buckets:
+            tb = max(-(-tb // 16) * 16, 16)
+            tok = jnp.zeros((K, tb), jnp.int32)
+            tlen = jnp.full((K,), tb, jnp.int32)
+            spk1 = jnp.zeros((K, self.cfg.hidden_size), jnp.float32)
+            pf = talker.build_prefill_inputs(self.engine.talker_w,
+                                             self.cfg, tok, tlen, spk1)
+            pf = pf._replace(trailing_hidden=self._pad_trailing(
+                pf.trailing_hidden))
+            slots0 = jnp.zeros((K,), jnp.int32)
+            self.state, self.consts = self._admit_fn(slots0, pf)(
+                self.engine.talker_w, self.state, self.consts, slots0, pf)
         self.state = self._park_fn()(self.state, jnp.int32(0))
 
         # generation at every read-ctx bucket coverage can reach
@@ -300,7 +312,8 @@ class ContinuousBatcher:
         return rid
 
     def pending(self) -> bool:
-        return bool(self._queue) or any(s.busy for s in self.slots)
+        return (bool(self._queue) or any(s.busy for s in self.slots)
+                or bool(self._finalizing))
 
     def _admit_pending(self) -> None:
         """Admit every queued request that has a free slot, in ONE
@@ -459,7 +472,8 @@ class ContinuousBatcher:
         if self._inflight is None:
             self._admit_pending()
             if not any(s.busy for s in self.slots):
-                return {}
+                # nothing generating: only in-flight readbacks remain
+                return self._drain_finalizing(block=True)
             self._dispatch_chunk()
         codes_d, valid_d, done_d = self._inflight
         self._inflight = None
@@ -504,8 +518,13 @@ class ContinuousBatcher:
         t_gen = t()
         self._decode_slots(live, retired)
         t_dec = t()
-        out = {slot.request_id: self._finalize(slot) for slot in retired}
+        # retired slots join the deferred-finalize queue; emit whichever
+        # (earlier or current) retirees' transfers have landed. Block
+        # only when there is no device work left to overlap with.
+        self._finalizing.extend(retired)
         self._retiring = []
+        out = self._drain_finalizing(
+            block=not (any(s.busy for s in self.slots) or self._queue))
         if timing:
             import sys
             print(f"[serve.step] read {1e3*(t_read-t0):.0f} slots "
@@ -514,8 +533,27 @@ class ContinuousBatcher:
                   f"{1e3*(t_gen-t_admit):.0f} decode "
                   f"{1e3*(t_dec-t_gen):.0f} finalize "
                   f"{1e3*(t()-t_dec):.0f} ms "
-                  f"(live {len(live)} retired {len(retired)})",
+                  f"(live {len(live)} retired {len(retired)} "
+                  f"deferred {len(self._finalizing)})",
                   file=sys.stderr, flush=True)
+        return out
+
+    def _drain_finalizing(self, block: bool) -> dict[int, TTSResult]:
+        """Finalize retired slots whose audio transfers have completed
+        (checked via Future.done() — never blocks); with block=True,
+        finalize everything (end-of-stream drain)."""
+        if not self._finalizing:
+            return {}
+        out: dict[int, TTSResult] = {}
+        still: list[_Slot] = []
+        for slot in self._finalizing:
+            ready = all(p.fut.done() for p in slot.audio
+                        if isinstance(p, PCMRef))
+            if block or ready:
+                out[slot.request_id] = self._finalize(slot)
+            else:
+                still.append(slot)
+        self._finalizing = still
         return out
 
     def _decode_slots(self, live: list[_Slot], retired: list[_Slot]) -> None:

@@ -77,7 +77,7 @@ def main():
     # precompile every serving executable (gen buckets, admission,
     # vocoder buckets) so the measured load pays zero compile stalls
     t0 = time.monotonic()
-    cb.warmup()
+    cb.warmup(token_buckets=(16, 48))   # RandomTokenizer emits 48 tokens
     rid = cb.submit("warmup")
     cb.run_all()
     log(f"warmup (compiles): {time.monotonic()-t0:.1f}s")
