@@ -6,8 +6,10 @@ TPU-native rebuild of the reference's AudioTokenizerEncoder
   - mel frontend (:281-364): reflect pad (n_fft-hop)/2, centered periodic
     Hann, magnitude STFT, slaney mel filterbank, log(clamp(1e-5)).
     The reference computes a naive O(frames * n_fft^2) DFT per frame
-    (:96-106); here it is a real FFT (numpy host-side — this is data
-    loading, not TPU compute).
+    (:96-106); here there are two equivalent implementations: a numpy
+    real-FFT (`mel_spectrogram`, single clip, host-side) and a jitted
+    batched device version (`mel_spectrogram_batch`) used by the bulk
+    voice-enrollment path so the whole encode runs on-device.
   - ECAPA graph (:438-694): conv0 k=5 (reflect pad) + 3 SE-Res2Net blocks
     (scale=8, dilations 2/3/4) + MFA concat -> attentive statistics
     pooling -> FC -> embedding[1024].
@@ -110,6 +112,81 @@ def mel_spectrogram(samples: np.ndarray,
                                cfg.f_min, cfg.f_max)
     mel = mag @ fb.T                                      # [n_frames, n_mels]
     return np.log(np.maximum(mel, 1e-5)).astype(np.float32)
+
+
+def _centered_hann(cfg: SpeakerEncoderConfig) -> np.ndarray:
+    """Periodic Hann of win_length centered in an n_fft window
+    (compute_centered_window, audio_tokenizer_encoder.cpp:109-118)."""
+    window = np.zeros(cfg.n_fft, np.float32)
+    off = (cfg.n_fft - cfg.win_length) // 2
+    i = np.arange(cfg.win_length)
+    window[off:off + cfg.win_length] = \
+        0.5 * (1.0 - np.cos(2.0 * np.pi * i / cfg.win_length))
+    return window
+
+
+def mel_frames_for_samples(n_samples: int, cfg: SpeakerEncoderConfig) -> int:
+    pad = (cfg.n_fft - cfg.hop_length) // 2
+    return (n_samples + 2 * pad - cfg.n_fft) // cfg.hop_length + 1
+
+
+def bucket_samples(n_samples: int, cfg: SpeakerEncoderConfig,
+                   bucket_s: float = 1.0) -> int:
+    """Round a clip length up to a whole-second bucket (one compiled
+    mel/encode executable per bucket, like bucket_frames)."""
+    step = max(int(cfg.sample_rate * bucket_s), 1)
+    return max(((n_samples + step - 1) // step) * step, step)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def mel_spectrogram_batch(samples: jax.Array, n_samples: jax.Array,
+                          cfg: SpeakerEncoderConfig):
+    """Batched on-device log-mel, numerically matching `mel_spectrogram`.
+
+    samples: [B, N] f32 zero-padded to a length bucket; n_samples: [B].
+    Returns (mel [B, F, n_mels] f32, n_frames [B] int32) where
+    F = mel_frames_for_samples(N) and rows >= n_frames[b] are zeroed
+    (downstream `encode` masks on n_valid anyway).
+
+    TPU notes: the reflect pad mirrors at each stream's VALID boundary
+    (like _reflect_pad_time), the frame extraction is one static gather,
+    and the STFT is jnp.fft.rfft — XLA lowers it to the TPU FFT custom
+    call, replacing the reference's O(frames * n_fft^2) naive DFT
+    (audio_tokenizer_encoder.cpp:96-106).
+    """
+    B, N = samples.shape
+    pad = (cfg.n_fft - cfg.hop_length) // 2
+
+    # reflect indices w.r.t. per-stream valid length
+    p = jnp.arange(-pad, N + pad)[None, :]                  # [1, N+2p]
+    n = n_samples[:, None]
+    src = jnp.where(p < 0, -p, p)
+    src = jnp.where(src >= n, 2 * n - src - 2, src)
+    src = jnp.clip(src, 0, jnp.maximum(n - 1, 0)).astype(jnp.int32)
+    padded = jnp.take_along_axis(samples.astype(jnp.float32), src, axis=1)
+
+    F = (N + 2 * pad - cfg.n_fft) // cfg.hop_length + 1
+    if F <= 0:
+        raise ValueError("sample bucket too short for mel spectrogram")
+    starts = jnp.arange(F) * cfg.hop_length
+    idx = starts[:, None] + jnp.arange(cfg.n_fft)[None, :]   # [F, n_fft]
+    frames = padded[:, idx] * jnp.asarray(_centered_hann(cfg))
+
+    spec = jnp.fft.rfft(frames, axis=-1)
+    mag = jnp.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9).astype(jnp.float32)
+
+    fb = jnp.asarray(mel_filterbank_slaney(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.f_min, cfg.f_max))
+    mel = jnp.log(jnp.maximum(mag @ fb.T, 1e-5))             # [B, F, n_mels]
+
+    n_frames = jnp.maximum(
+        (n_samples + 2 * pad - cfg.n_fft) // cfg.hop_length + 1, 0
+    ).astype(jnp.int32)
+    valid = jnp.arange(F)[None, :] < n_frames[:, None]
+    return jnp.where(valid[..., None], mel, 0.0), n_frames
 
 
 # ---------------------------------------------------------------------------
@@ -230,9 +307,6 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean over time of valid positions. x: [B,T,C]; mask: [B,T]."""
     s = jnp.sum(x * mask[..., None], axis=1)
     return s / jnp.maximum(jnp.sum(mask, axis=1), 1.0)[:, None]
-
-
-from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("cfg",))

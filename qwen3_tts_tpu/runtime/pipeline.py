@@ -230,6 +230,36 @@ class Qwen3TTS:
                          jnp.array([t], jnp.int32))
         return np.asarray(emb[0])
 
+    def encode_speaker_batch(self, clips: list[np.ndarray],
+                             sample_rate: int) -> np.ndarray | None:
+        """Bulk voice enrollment: N clips -> [N, 1024] embeddings in ONE
+        device dispatch (mel + ECAPA both on-device, jitted per
+        sample-length bucket). The single-clip path (encode_speaker_samples)
+        keeps the host-side numpy mel; this one uses
+        spk.mel_spectrogram_batch — same numerics (tests assert parity).
+        """
+        if not self._ensure_speaker_encoder():
+            return None
+        if not clips:
+            return np.zeros((0, self.spk_cfg.embedding_dim), np.float32)
+        cfg = self.spk_cfg
+        res = [audio_io.resample_linear(np.asarray(c, np.float32),
+                                        sample_rate, cfg.sample_rate)
+               if sample_rate != cfg.sample_rate else
+               np.asarray(c, np.float32) for c in clips]
+        n = np.array([len(c) for c in res], np.int32)
+        if (n <= 0).any():
+            self.error_msg = "empty reference clip in batch"
+            return None
+        bucket = spk.bucket_samples(int(n.max()), cfg)
+        batch = np.zeros((len(res), bucket), np.float32)
+        for i, c in enumerate(res):
+            batch[i, :len(c)] = c
+        mel, n_frames = spk.mel_spectrogram_batch(
+            jnp.asarray(batch), jnp.asarray(n), cfg)
+        emb = spk.encode(self.spk_w, cfg, mel, n_frames)
+        return np.asarray(emb)
+
     # -- synthesis -----------------------------------------------------------
     def synthesize(self, text: str, params: TTSParams | None = None) -> TTSResult:
         """Default voice = zero speaker embedding (qwen3_tts.cpp:241-245)."""

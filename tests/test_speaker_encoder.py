@@ -118,6 +118,62 @@ def test_batch_independent_lengths(enc):
     np.testing.assert_allclose(np.asarray(eb[1]), np.asarray(e2[0]), atol=1e-4)
 
 
+def test_mel_batch_matches_numpy():
+    """Device mel (mel_spectrogram_batch) vs the host numpy mel, with
+    mixed-length clips zero-padded to one sample bucket."""
+    cfg = SpeakerEncoderConfig(n_mels=8, n_fft=64, hop_length=16,
+                               win_length=64, sample_rate=24000,
+                               f_min=0.0, f_max=12000.0)
+    rng = np.random.default_rng(41)
+    lens = [300, 190, 512]
+    clips = [rng.standard_normal(n).astype(np.float32) for n in lens]
+    N = max(lens)
+    batch = np.zeros((len(clips), N), np.float32)
+    for i, c in enumerate(clips):
+        batch[i, :len(c)] = c
+    mel, n_frames = se.mel_spectrogram_batch(
+        jnp.asarray(batch), jnp.asarray(lens, dtype=jnp.int32), cfg)
+    mel = np.asarray(mel)
+    n_frames = np.asarray(n_frames)
+    for i, c in enumerate(clips):
+        want = se.mel_spectrogram(c, cfg)
+        assert n_frames[i] == want.shape[0]
+        assert n_frames[i] == se.mel_frames_for_samples(lens[i], cfg)
+        np.testing.assert_allclose(mel[i, :n_frames[i]], want,
+                                   atol=1e-4, rtol=1e-4)
+        # rows past the valid frame count are zeroed
+        assert np.all(mel[i, n_frames[i]:] == 0.0)
+
+
+def test_mel_batch_end_to_end_encode(enc):
+    """Device-mel -> encode equals numpy-mel -> encode per clip (the
+    bulk-enrollment path, pipeline.encode_speaker_batch)."""
+    cfg, w = enc
+    mcfg = SpeakerEncoderConfig(n_mels=cfg.n_mels, n_fft=64, hop_length=16,
+                                win_length=64, sample_rate=24000,
+                                f_min=0.0, f_max=12000.0,
+                                embedding_dim=cfg.embedding_dim,
+                                hidden_dim=cfg.hidden_dim,
+                                res2net_scale=cfg.res2net_scale)
+    rng = np.random.default_rng(42)
+    lens = [400, 256]
+    clips = [rng.standard_normal(n).astype(np.float32) for n in lens]
+    N = se.bucket_samples(max(lens), mcfg, bucket_s=512 / 24000)
+    batch = np.zeros((len(clips), N), np.float32)
+    for i, c in enumerate(clips):
+        batch[i, :len(c)] = c
+    mel, n_frames = se.mel_spectrogram_batch(
+        jnp.asarray(batch), jnp.asarray(lens, dtype=jnp.int32), mcfg)
+    eb = se.encode(w, mcfg, mel, n_frames)
+    for i, c in enumerate(clips):
+        m = se.mel_spectrogram(c, mcfg)
+        t = m.shape[0]
+        e1 = se.encode(w, mcfg, jnp.asarray(m[None]),
+                       jnp.array([t], jnp.int32))
+        np.testing.assert_allclose(np.asarray(eb[i]), np.asarray(e1[0]),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_reflect_pad_time():
     x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 6, 1))
     # valid length 4: values 0 1 2 3; pad 2 -> reflect: 2 1 | 0 1 2 3 | 2 1

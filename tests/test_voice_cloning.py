@@ -61,6 +61,24 @@ def test_encode_speaker_resamples(engine, tmp_path):
     assert emb is not None and np.all(np.isfinite(emb))
 
 
+def test_encode_speaker_batch_matches_single(engine, tmp_path):
+    """Bulk enrollment (device mel, one dispatch) == per-clip encoding
+    (host numpy mel) for mixed-length clips."""
+    sr = engine.spk_cfg.sample_rate
+    rng = np.random.default_rng(43)
+    clips = [rng.standard_normal(n).astype(np.float32) * 0.3
+             for n in (7200, 4100, 9600)]
+    batch = engine.encode_speaker_batch(clips, sr)
+    assert batch is not None
+    assert batch.shape == (3, engine.spk_cfg.embedding_dim)
+    for i, c in enumerate(clips):
+        single = engine.encode_speaker_samples(c, sr)
+        np.testing.assert_allclose(batch[i], single, atol=1e-3, rtol=1e-3)
+    # empty list is a valid no-op
+    empty = engine.encode_speaker_batch([], sr)
+    assert empty.shape == (0, engine.spk_cfg.embedding_dim)
+
+
 def test_synthesize_with_voice(engine, tmp_path):
     path = _ref_wav(tmp_path)
     p = TTSParams(max_audio_tokens=10, temperature=0.0,
