@@ -127,10 +127,21 @@ def main() -> None:
         return generate_chunk(w, cfg, state, consts, 50, CHUNK,
                               read_ctx=read_ctx, lockstep=True)
 
-    # warmup (compile)
+    # warmup (compile). generate_chunk now embeds the Pallas code-pred
+    # megakernel — retry like the vocoder below (the axon remote-compile
+    # helpers 500 on ~40% of Pallas compiles).
     t0 = time.monotonic()
-    state, codes, valid = run_chunk(state)
-    sync(codes)
+    for attempt in range(args.compile_retries):
+        try:
+            state, codes, valid = run_chunk(state)
+            sync(codes)
+            break
+        except Exception as e:
+            if attempt == args.compile_retries - 1:
+                raise
+            log(f"generate_chunk compile attempt {attempt + 1} failed: "
+                f"{type(e).__name__}: {str(e)[:200]}")
+            time.sleep(2.0)
     log(f"generate_chunk compile+first run: {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()

@@ -49,6 +49,11 @@ def main():
                     help="timed repetitions per length (median reported)")
     ap.add_argument("--impl", default="auto",
                     choices=("auto", "xla", "fused", "fused_interpret"))
+    ap.add_argument("--parity", action="store_true",
+                    help="compare the COMPILED fused kernel's greedy "
+                         "codes against the XLA path on this backend "
+                         "(tests cover interpret mode only; this is the "
+                         "on-hardware Mosaic check)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +80,28 @@ def main():
 
     hidden = jnp.zeros((B, cfg.hidden_size), jnp.float32) + 0.01
     cb0 = jnp.zeros((B,), jnp.int32)
+
+    if args.parity:
+        from qwen3_tts_tpu.ops import codepred_fused as cf
+        h = jax.random.normal(jax.random.PRNGKey(11),
+                              (B, cfg.hidden_size), jnp.float32) * 0.5
+        c0 = jax.random.randint(jax.random.PRNGKey(12), (B,), 0,
+                                cfg.code_pred_vocab_size)
+        fused = np.asarray(cf.predict_codes_fused(
+            w, cfg, h, c0, jnp.float32(0.0), 50, jax.random.PRNGKey(0),
+            greedy=True))
+        code_predictor.set_codepred_impl("xla")
+        ref = np.asarray(code_predictor.predict_codes(
+            w, cfg, h, c0, jnp.float32(0.0), 50, jax.random.PRNGKey(0),
+            greedy=True))
+        code_predictor.set_codepred_impl(args.impl)
+        agree = (fused == ref).mean()
+        stream = (fused == ref).all(axis=1).mean()
+        log(f"parity (compiled fused vs XLA, greedy, B={B}): "
+            f"code agreement {agree:.4f}, exact streams {stream:.3f} "
+            f"(boundary flips from bf16 tile-order rounding are "
+            f"expected on random weights; see tests/test_codepred_fused)")
+        assert agree >= 0.8, f"compiled fused kernel diverges: {agree}"
 
     # -- full / greedy: the production function, scanned over frames ----
     @partial(jax.jit, static_argnames=("greedy", "frames"))
