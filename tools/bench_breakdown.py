@@ -30,6 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--kv", choices=("bf16", "int8"), default="bf16",
+                    help="talker KV cache dtype (bench.py --kv)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +66,8 @@ def main():
     spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
     prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
     ctx = required_ctx(prefill.prefill_embd.shape[1], 400, 40)
-    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1))
+    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1),
+                       kv_quant=args.kv == "int8")
     consts = make_consts(prefill, 0.9, 1.05)
     sync(state.logits)
 
