@@ -43,6 +43,12 @@ def main() -> None:
                     help="talker KV cache dtype (int8 halves KV memory "
                          "+ read bandwidth; code predictor stays bf16 "
                          "per the reference constraint, README.md:72)")
+    ap.add_argument("--cache", choices=("stacked", "layered"),
+                    default=None,
+                    help="talker KV cache layout (layered = per-layer "
+                         "buffers, avoids XLA slice-copy of the stacked "
+                         "[L,...] array; default = QWEN3_TTS_CACHE env "
+                         "or stacked)")
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--runs", type=int, default=3,
                     help="repeat the measured section; report the median "
@@ -61,6 +67,8 @@ def main() -> None:
 
     import os
     os.environ["QWEN3_TTS_KV"] = args.kv   # read dynamically downstream
+    if args.cache is not None:
+        os.environ["QWEN3_TTS_CACHE"] = args.cache
 
     import jax
 
@@ -85,7 +93,8 @@ def main() -> None:
     from qwen3_tts_tpu.models import talker, vocoder
     from qwen3_tts_tpu.models.weights import init_talker_weights_device
     from qwen3_tts_tpu.runtime.generate import (
-        ctx_bucket, generate_chunk, init_state, make_consts, required_ctx)
+        ctx_bucket, generate_chunk, init_state, kv_layered_enabled,
+        kv_quant_enabled, make_consts, required_ctx)
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -114,7 +123,13 @@ def main() -> None:
     t0 = time.monotonic()
     prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
     ctx = required_ctx(prefill.prefill_embd.shape[1], args.max_frames, CHUNK)
-    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1))
+    # NB round-3 fix: --kv int8 used to set the env var only; init_state
+    # defaulted kv_quant=False, so earlier "int8" ladders (bench_r3_*.log)
+    # actually measured bf16 caches — which also explains their B=256
+    # init_state OOM (256 x 59 MB bf16 KV > HBM).
+    state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1),
+                       kv_quant=kv_quant_enabled(),
+                       kv_layered=kv_layered_enabled())
     sync(state.logits)
     log(f"prefill B={B} ctx={ctx}: {(time.monotonic()-t0)*1e3:.0f} ms "
         f"(includes compile)")
@@ -290,6 +305,7 @@ def main() -> None:
         "vs_baseline": round(FRAME_BUDGET_MS / per_stream, 2),
         "voc_impl": voc_impl,
         "kv": args.kv,
+        "cache_layout": "layered" if kv_layered_enabled() else "stacked",
         "gen_ms_per_frame": round(gen_ms_per_batchframe, 2),
         "voc_ms_per_frame": round(voc_ms_per_batchframe, 2),
         "total_ms_per_frame": round(total_ms_per_batchframe, 2),

@@ -70,7 +70,28 @@ LAYER_UNROLL = 1
 
 
 def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
-                  head_dim: int, quant: bool = False):
+                  head_dim: int, quant: bool = False,
+                  layered: bool = False):
+    """Allocate the decode KV cache.
+
+    layered=False: one stacked [L, 2, B, kv, S, D] array (QuantKV pair
+    when quant). layered=True: a TUPLE of L per-layer buffers
+    ([2, B, kv, S, D] each; per-layer QuantKV when quant). The layered
+    layout exists because XLA materializes multi-hundred-MB slice copies
+    when layer l is sliced out of the stacked buffer inside the decode
+    loop (measured 19.2 -> ~5 ms/frame at B=192, NOTES.md round 3);
+    separate buffers let every cache read/write alias in place."""
+    if layered:
+        if quant:
+            mk = lambda: QuantKV(
+                values=jnp.zeros((2, batch, n_kv, max_ctx, head_dim),
+                                 jnp.int8),
+                scales=jnp.full((2, batch, n_kv, max_ctx),
+                                1e-8 / 127.0, jnp.float32))
+        else:
+            mk = lambda: jnp.zeros((2, batch, n_kv, max_ctx, head_dim),
+                                   CACHE_DTYPE)
+        return tuple(mk() for _ in range(n_layers))
     if quant:
         return QuantKV(
             values=jnp.zeros((n_layers, 2, batch, n_kv, max_ctx, head_dim),
@@ -78,6 +99,19 @@ def init_kv_cache(n_layers: int, batch: int, max_ctx: int, n_kv: int,
             scales=jnp.full((n_layers, 2, batch, n_kv, max_ctx),
                             1e-8 / 127.0, jnp.float32))
     return jnp.zeros((n_layers, 2, batch, n_kv, max_ctx, head_dim), CACHE_DTYPE)
+
+
+def is_layered(kv_cache) -> bool:
+    """True for the tuple-of-per-layer-buffers layout (see init_kv_cache)."""
+    return (isinstance(kv_cache, (tuple, list))
+            and not isinstance(kv_cache, QuantKV))
+
+
+def cache_n_layers(kv_cache) -> int:
+    if is_layered(kv_cache):
+        return len(kv_cache)
+    return (kv_cache.values if isinstance(kv_cache, QuantKV)
+            else kv_cache).shape[0]
 
 
 def _qkv(wl, x_norm: jax.Array, n_heads: int, n_kv: int, head_dim: int,
@@ -160,6 +194,20 @@ def write_prefill_to_cache(kv_cache, ks: jax.Array, vs: jax.Array,
     """Write prefill K/V ([L,B,T,kv,D]) into the kv-major cache at `start`."""
     kv = jnp.stack([ks, vs], axis=1)                # [L,2,B,T,kv,D]
     kv = kv.transpose(0, 1, 2, 4, 3, 5)             # [L,2,B,kv,T,D]
+    if is_layered(kv_cache):
+        out = []
+        for l, cl in enumerate(kv_cache):
+            if isinstance(cl, QuantKV):
+                q, s = quantize_kv_rows(kv[l])
+                out.append(QuantKV(
+                    values=jax.lax.dynamic_update_slice(
+                        cl.values, q, (0, 0, 0, start, 0)),
+                    scales=jax.lax.dynamic_update_slice(
+                        cl.scales, s, (0, 0, 0, start))))
+            else:
+                out.append(jax.lax.dynamic_update_slice(
+                    cl, kv[l].astype(cl.dtype), (0, 0, 0, start, 0)))
+        return tuple(out)
     if isinstance(kv_cache, QuantKV):
         q, s = quantize_kv_rows(kv)
         return QuantKV(
@@ -183,7 +231,10 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     """Single-token decode step.
 
     x: [B, H]; positions: [B] int32 (RoPE position per stream);
-    kv_cache: [L, 2, B, n_kv, S, D] (kv-major); write_idx: scalar int32 OR
+    kv_cache: [L, 2, B, n_kv, S, D] (kv-major) OR the layered layout — a
+    tuple of L per-layer [2, B, n_kv, S, D] buffers (see init_kv_cache:
+    separate buffers keep XLA from materializing per-layer slice copies
+    of the stacked array); write_idx: scalar int32 OR
     [B] int32 cache slot(s) — per-stream indices enable continuous
     batching where each stream sits at a different depth; n_valid: [B]
     valid cache length AFTER this token is appended.
@@ -208,9 +259,11 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
     Returns (y [B,H] f32 pre-output-norm, new_kv_cache).
     """
     per_stream = getattr(write_idx, "ndim", 0) == 1
-    quant = isinstance(kv_cache, QuantKV)
-    L = (kv_cache.values if quant else kv_cache).shape[0]
+    layered = is_layered(kv_cache)
+    L = cache_n_layers(kv_cache)
     B = x.shape[0]
+    if layered:
+        caches = list(kv_cache)
 
     x = x.astype(jnp.float32)
     for l in range(L):
@@ -219,26 +272,61 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
         q, k, v = _qkv(wl, h, n_heads, n_kv, head_dim, eps, theta,
                        positions[:, None])
         # k, v: [B, 1, kv, D] -> cache rows [B, kv, D]
+        quant = isinstance(caches[l] if layered else kv_cache, QuantKV)
         if quant:
             k_row, k_s = quantize_kv_rows(k[:, 0])
             v_row, v_s = quantize_kv_rows(v[:, 0])
-            values, scales = kv_cache.values, kv_cache.scales
+            if layered:
+                values, scales = caches[l].values, caches[l].scales
+                if per_stream:
+                    bidx = jnp.arange(B)
+                    values = values.at[0, bidx, :, write_idx].set(k_row)
+                    values = values.at[1, bidx, :, write_idx].set(v_row)
+                    scales = scales.at[0, bidx, :, write_idx].set(k_s)
+                    scales = scales.at[1, bidx, :, write_idx].set(v_s)
+                else:
+                    new_kv = jnp.stack([k_row, v_row])[:, :, :, None, :]
+                    values = jax.lax.dynamic_update_slice(
+                        values, new_kv, (0, 0, 0, write_idx, 0))
+                    new_s = jnp.stack([k_s, v_s])[:, :, :, None]
+                    scales = jax.lax.dynamic_update_slice(
+                        scales, new_s, (0, 0, 0, write_idx))
+                caches[l] = QuantKV(values, scales)
+                k_l, v_l = values[0], values[1]             # int8
+                k_scale, v_scale = scales[0], scales[1]     # [B, kv, S]
+            else:
+                values, scales = kv_cache.values, kv_cache.scales
+                if per_stream:
+                    bidx = jnp.arange(B)
+                    values = values.at[l, 0, bidx, :, write_idx].set(k_row)
+                    values = values.at[l, 1, bidx, :, write_idx].set(v_row)
+                    scales = scales.at[l, 0, bidx, :, write_idx].set(k_s)
+                    scales = scales.at[l, 1, bidx, :, write_idx].set(v_s)
+                else:
+                    new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
+                    values = jax.lax.dynamic_update_slice(
+                        values, new_kv, (l, 0, 0, 0, write_idx, 0))
+                    new_s = jnp.stack([k_s, v_s])[None, :, :, :, None]
+                    scales = jax.lax.dynamic_update_slice(
+                        scales, new_s, (l, 0, 0, 0, write_idx))
+                kv_cache = QuantKV(values, scales)
+                k_l, v_l = values[l, 0], values[l, 1]           # int8
+                k_scale, v_scale = scales[l, 0], scales[l, 1]   # [B, kv, S]
+        elif layered:
+            cl = caches[l]
+            k_row = k[:, 0].astype(cl.dtype)
+            v_row = v[:, 0].astype(cl.dtype)
             if per_stream:
                 bidx = jnp.arange(B)
-                values = values.at[l, 0, bidx, :, write_idx].set(k_row)
-                values = values.at[l, 1, bidx, :, write_idx].set(v_row)
-                scales = scales.at[l, 0, bidx, :, write_idx].set(k_s)
-                scales = scales.at[l, 1, bidx, :, write_idx].set(v_s)
+                cl = cl.at[0, bidx, :, write_idx].set(k_row)
+                cl = cl.at[1, bidx, :, write_idx].set(v_row)
             else:
-                new_kv = jnp.stack([k_row, v_row])[None, :, :, :, None, :]
-                values = jax.lax.dynamic_update_slice(
-                    values, new_kv, (l, 0, 0, 0, write_idx, 0))
-                new_s = jnp.stack([k_s, v_s])[None, :, :, :, None]
-                scales = jax.lax.dynamic_update_slice(
-                    scales, new_s, (l, 0, 0, 0, write_idx))
-            kv_cache = QuantKV(values, scales)
-            k_l, v_l = values[l, 0], values[l, 1]           # int8
-            k_scale, v_scale = scales[l, 0], scales[l, 1]   # [B, kv, S]
+                new_kv = jnp.stack([k_row, v_row])[:, :, :, None, :]
+                cl = jax.lax.dynamic_update_slice(
+                    cl, new_kv, (0, 0, 0, write_idx, 0))
+            caches[l] = cl
+            k_l, v_l = cl[0], cl[1]                         # [B, kv, S, D]
+            k_scale = v_scale = None
         else:
             k_row = k[:, 0].astype(kv_cache.dtype)
             v_row = v[:, 0].astype(kv_cache.dtype)
@@ -271,4 +359,4 @@ def stack_step(layers_w, x: jax.Array, positions: jax.Array,
                        preferred_element_type=jnp.float32)
         x = x + attn
         x = x + _ffn(wl, x, eps)
-    return x, kv_cache
+    return x, (tuple(caches) if layered else kv_cache)

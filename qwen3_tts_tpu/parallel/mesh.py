@@ -136,14 +136,27 @@ def shard_talker_weights(w, mesh: Mesh, cfg=None):
 
 def shard_gen_state(state, mesh: Mesh):
     """GenState sharding: batch over dp, KV heads over tp."""
-    from ..models.stack import QuantKV
+    from ..models.stack import QuantKV, is_layered
 
     # kv-major cache [L, 2, B, kv, S, D]: dp on B (dim 2), tp on kv (dim 3)
     cache_s = _ns(mesh, None, None, "dp", "tp", None, None)
     b_s = _ns(mesh, "dp")
     b2_s = _ns(mesh, "dp", None)
     rep = _ns(mesh)
-    if isinstance(state.kv_cache, QuantKV):
+    if is_layered(state.kv_cache):
+        # per-layer buffers [2, B, kv, S, D] (values) / [2, B, kv, S]
+        # (scales): same dp-on-B, tp-on-kv placement minus the L axis
+        lv_s = _ns(mesh, None, "dp", "tp", None, None)
+        ls_s = _ns(mesh, None, "dp", "tp", None)
+
+        def place_layer(cl):
+            if isinstance(cl, QuantKV):
+                return QuantKV(values=jax.device_put(cl.values, lv_s),
+                               scales=jax.device_put(cl.scales, ls_s))
+            return jax.device_put(cl, lv_s)
+
+        cache = tuple(place_layer(cl) for cl in state.kv_cache)
+    elif isinstance(state.kv_cache, QuantKV):
         cache = QuantKV(
             values=jax.device_put(state.kv_cache.values, cache_s),
             scales=jax.device_put(

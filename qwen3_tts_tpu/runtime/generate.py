@@ -46,9 +46,22 @@ def kv_quant_enabled() -> bool:
     return os.environ.get("QWEN3_TTS_KV", "bf16").lower() == "int8"
 
 
+def kv_layered_enabled() -> bool:
+    """QWEN3_TTS_CACHE=layered selects the per-layer-buffer talker cache
+    (tuple of L [2,B,kv,S,D] arrays) instead of one stacked [L,...] array.
+    Slicing layer l out of the stacked buffer inside the decode loop makes
+    XLA materialize the full [2,B,kv,S,D] slice per layer (hundreds of MB
+    per frame at serving batch); per-layer buffers alias in place
+    (models/stack.init_kv_cache, NOTES.md round 3)."""
+    import os
+    return os.environ.get("QWEN3_TTS_CACHE", "stacked").lower() == "layered"
+
+
 
 class GenState(NamedTuple):
-    kv_cache: jax.Array       # [L, 2, B, kv, S, D] bf16 (kv-major)
+    kv_cache: jax.Array       # [L, 2, B, kv, S, D] bf16 (kv-major), or
+    #                           stack.QuantKV (int8), or the layered
+    #                           layout: tuple of L per-layer buffers
     n_past: jax.Array         # [B] int32 — per-stream LOGICAL position
     frame_idx: jax.Array      # [B] int32 — per-stream frames generated
     last_hidden: jax.Array    # [B, H] f32
@@ -75,11 +88,13 @@ class GenConsts(NamedTuple):
     repetition_penalty: jax.Array  # scalar f32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_ctx", "kv_quant"))
+@partial(jax.jit, static_argnames=("cfg", "max_ctx", "kv_quant",
+                                   "kv_layered"))
 def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
                max_ctx: int, key: jax.Array,
                active: jax.Array | None = None,
-               kv_quant: bool = False) -> GenState:
+               kv_quant: bool = False,
+               kv_layered: bool = False) -> GenState:
     """Run the prefill and build the generation state.
 
     max_ctx must cover prefill_len + max frames + slack
@@ -90,11 +105,13 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
     `kv_quant`: int8 talker KV cache (stack.QuantKV) — halves KV memory
     and decode-attention read bandwidth (allowed: the reference's bf16
     constraint binds the code predictor only, README.md:72).
+    `kv_layered`: per-layer cache buffers instead of one stacked [L,...]
+    array (see kv_layered_enabled / stack.init_kv_cache).
     """
     B, P, H = prefill.prefill_embd.shape
     cache = init_kv_cache(cfg.n_layers, B, max_ctx,
                           cfg.n_key_value_heads, cfg.head_dim,
-                          quant=kv_quant)
+                          quant=kv_quant, layered=kv_layered)
     hidden, logits, cache = talker.talker_prefill(
         w, cfg, prefill.prefill_embd, cache)
     done = jnp.zeros((B,), bool) if active is None else ~active
@@ -260,7 +277,8 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     prefill: PrefillInputs with leading dim K; trailing_hidden must
     already be padded/truncated to consts.trailing_hidden.shape[1].
     """
-    from ..models.stack import QuantKV, quantize_kv_rows, stack_prefill
+    from ..models.stack import (QuantKV, is_layered, quantize_kv_rows,
+                                stack_prefill)
     from ..ops.layers import rms_norm
 
     K, P = prefill.prefill_embd.shape[:2]
@@ -282,8 +300,29 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
 
     kv = jnp.stack([ks, vs], axis=1)
     kv = kv.transpose(0, 1, 2, 4, 3, 5)          # [L,2,K,kv,P,D] kv-major
-    cache = state.kv_cache                       # [L,2,B,kv,S,D]
-    if isinstance(cache, QuantKV):
+    cache = state.kv_cache                       # [L,2,B,kv,S,D] or layered
+    if is_layered(cache):
+        layers = []
+        for l, cl in enumerate(cache):
+            if isinstance(cl, QuantKV):
+                qv, qs = quantize_kv_rows(kv[l])
+                values, scales = cl.values, cl.scales
+                for i in range(K):
+                    # sequential writes: duplicate slots resolve last-wins
+                    values = jax.lax.dynamic_update_slice(
+                        values, qv[:, i:i + 1], (0, slots[i], 0, 0, 0))
+                    scales = jax.lax.dynamic_update_slice(
+                        scales, qs[:, i:i + 1], (0, slots[i], 0, 0))
+                layers.append(QuantKV(values, scales))
+            else:
+                cl_new = cl
+                kv_l = kv[l].astype(cl.dtype)
+                for i in range(K):
+                    cl_new = jax.lax.dynamic_update_slice(
+                        cl_new, kv_l[:, i:i + 1], (0, slots[i], 0, 0, 0))
+                layers.append(cl_new)
+        cache = tuple(layers)
+    elif isinstance(cache, QuantKV):
         qv, qs = quantize_kv_rows(kv)
         values, scales = cache.values, cache.scales
         for i in range(K):

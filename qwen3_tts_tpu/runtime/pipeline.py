@@ -356,10 +356,11 @@ class Qwen3TTS:
         max_ctx = required_ctx(prefill.prefill_embd.shape[1],
                                p.max_audio_tokens, CHUNK_FRAMES)
         seed = p.seed if p.seed is not None else np.random.randint(0, 2**31)
-        from .generate import kv_quant_enabled
+        from .generate import kv_layered_enabled, kv_quant_enabled
         state = init_state(self.talker_w, cfg, prefill, max_ctx,
                            jax.random.PRNGKey(seed),
-                           kv_quant=kv_quant_enabled())
+                           kv_quant=kv_quant_enabled(),
+                           kv_layered=kv_layered_enabled())
         if self.mesh is not None and B % self.mesh.shape.get("dp", 1) == 0:
             # sharded engine: stream batch over dp, KV heads over tp —
             # every chunk below runs SPMD with explicit state layouts

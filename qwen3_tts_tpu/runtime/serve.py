@@ -130,11 +130,12 @@ class ContinuousBatcher:
         self._steps_done = 0
         self._inflight = None  # (codes, valid, done) of the enqueued chunk
         seed = self.params.seed if self.params.seed is not None else 0
-        from .generate import kv_quant_enabled
+        from .generate import kv_layered_enabled, kv_quant_enabled
         self.state = init_state(self.engine.talker_w, cfg, prefill,
                                 self.ctx, jax.random.PRNGKey(seed),
                                 active=jnp.zeros((n_slots,), bool),
-                                kv_quant=kv_quant_enabled())
+                                kv_quant=kv_quant_enabled(),
+                                kv_layered=kv_layered_enabled())
         self.consts = make_consts(prefill, self.params.temperature,
                                   self.params.repetition_penalty)
         mesh = getattr(self.engine, "mesh", None)
@@ -211,12 +212,13 @@ class ContinuousBatcher:
 
     # -- AOT-cached executables ----------------------------------------
     def _key_base(self) -> str:
-        from .generate import kv_quant_enabled
+        from .generate import kv_layered_enabled, kv_quant_enabled
         mesh = getattr(self.engine, "mesh", None)
         mtag = (f"-m{mesh.shape.get('dp', 1)}x{mesh.shape.get('tp', 1)}"
                 if mesh is not None else "")
         return (f"{self.engine.model_tag()}-b{self.n_slots}-c{self.ctx}"
-                f"-q{int(kv_quant_enabled())}{mtag}")
+                f"-q{int(kv_quant_enabled())}"
+                f"-l{int(kv_layered_enabled())}{mtag}")
 
     def _gen_fn(self, read_ctx: int):
         """Compiled generation-chunk executable for one read-ctx bucket.

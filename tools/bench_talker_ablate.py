@@ -193,6 +193,35 @@ def main():
     log(f"{'full':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer) "
         f"[stack_step x4 in-scan, incl. cache write]")
 
+    # ---- full production body, LAYERED cache layout ---------------------
+    # (QWEN3_TTS_CACHE=layered): same stack_step, tuple of per-layer
+    # buffers — the production A/B for the listcache hypothesis below.
+    lcache = stack.init_kv_cache(L, B, S, n_kv, D, quant=quant,
+                                 layered=True)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def full_layered(x, layers_w, lcache):
+        def f(carry, _):
+            x, lcache = carry
+            y, lcache = stack.stack_step(
+                layers_w, x, n_valid, lcache, write_idx,
+                n_valid, n_heads=n_heads, n_kv=n_kv, head_dim=D,
+                eps=eps, theta=theta, read_ctx=RC)
+            return (y, lcache), None
+        (y, lcache), _ = jax.lax.scan(f, (x, lcache), None, length=4)
+        return y, lcache
+
+    out, lcache = full_layered(x0, layers_w, lcache)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, lcache = full_layered(x0, layers_w, lcache)
+    sync(out)
+    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+    log(f"{'full-lyr':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
+        f" [stack_step x4 in-scan, layered cache]")
+    del lcache
+
     # ---- redesign candidate: deferred batched cache write --------------
     # Unrolled layer loop; each layer's k/v row for the CURRENT token is
     # used in-register by attention (one extra score column) instead of
@@ -351,6 +380,188 @@ def main():
     ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
     log(f"{'candidate':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
         f" [scan + ds-read + ys rows + one DUS, 4-frame carry]")
+
+    # ---- E4: per-layer cache buffers (list of [2,B,kv,S,D] arrays) -----
+    # Mirrors production stack_step semantics exactly (write the row via
+    # in-place DUS on the layer's OWN donated buffer, then read it back
+    # through decode_attention), but with no [L,...] super-buffer: the
+    # hypothesis is that slicing layer l out of the stacked cache defeats
+    # XLA's in-place/fusion analysis and materializes ~100 MB copies.
+    if quant:
+        list_vals = [jnp.zeros((2, B, n_kv, S, D), jnp.int8)
+                     for _ in range(L)]
+        list_scales = [jnp.full((2, B, n_kv, S), 1e-8 / 127., jnp.float32)
+                       for _ in range(L)]
+    else:
+        list_vals = [jnp.zeros((2, B, n_kv, S, D), jnp.bfloat16)
+                     for _ in range(L)]
+        list_scales = [None] * L
+
+    def list_step(x, layers_w, vals, scls):
+        vals, scls = list(vals), list(scls)
+        x = x.astype(jnp.float32)
+        for l in range(L):
+            wl = jax.tree.map(lambda a: a[l], layers_w)
+            h = rms_norm(x, wl["attn_norm"], eps).astype(jnp.bfloat16)
+            qkv = jnp.dot(h, wl["wqkv"], preferred_element_type=jnp.float32)
+            q = qkv[:, :nq].reshape(B, 1, n_heads, D)
+            k = qkv[:, nq:nq + nk].reshape(B, 1, n_kv, D)
+            v = qkv[:, nq + nk:].reshape(B, 1, n_kv, D)
+            q = rope_neox(rms_norm(q, wl["q_norm"], eps), positions, theta)
+            k = rope_neox(rms_norm(k, wl["k_norm"], eps), positions, theta)
+            if quant:
+                from qwen3_tts_tpu.models.stack import quantize_kv_rows
+                k_row, k_s = quantize_kv_rows(k[:, 0])
+                v_row, v_s = quantize_kv_rows(v[:, 0])
+                new_kv = jnp.stack([k_row, v_row])[:, :, :, None, :]
+                vals[l] = jax.lax.dynamic_update_slice(
+                    vals[l], new_kv, (0, 0, 0, write_idx, 0))
+                new_s = jnp.stack([k_s, v_s])[:, :, :, None]
+                scls[l] = jax.lax.dynamic_update_slice(
+                    scls[l], new_s, (0, 0, 0, write_idx))
+                kc, vc = vals[l][0], vals[l][1]
+                ksc, vsc = scls[l][0], scls[l][1]
+            else:
+                new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(
+                    jnp.bfloat16)[:, :, :, None, :]
+                vals[l] = jax.lax.dynamic_update_slice(
+                    vals[l], new_kv, (0, 0, 0, write_idx, 0))
+                kc, vc = vals[l][0], vals[l][1]
+                ksc = vsc = None
+            attn = decode_attention(q[:, 0].astype(jnp.bfloat16), kc, vc,
+                                    n_valid, read_ctx=RC,
+                                    k_scale=ksc, v_scale=vsc)
+            x = x + jnp.dot(attn.astype(jnp.bfloat16), wl["wo"],
+                            preferred_element_type=jnp.float32)
+            h2 = rms_norm(x, wl["ffn_norm"], eps).astype(jnp.bfloat16)
+            gu = jnp.dot(h2, wl["w_gu"], preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+            x = x + jnp.dot(act, wl["w_down"],
+                            preferred_element_type=jnp.float32)
+        return x, vals, scls
+
+    @partial(jax.jit, donate_argnums=(2, 3) if quant else (2,))
+    def run_list(x, layers_w, vals, scls):
+        def frame(carry, _):
+            x, vals, scls = carry
+            y, nv, ns = list_step(x, layers_w, vals, scls)
+            return (y, tuple(nv), tuple(ns)), None
+        (y, vals, scls), _ = jax.lax.scan(
+            frame, (x, tuple(vals), tuple(scls)), None, length=4)
+        return y, vals, scls
+
+    out, list_vals, list_scales = run_list(x0, layers_w,
+                                           tuple(list_vals),
+                                           tuple(list_scales))
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, list_vals, list_scales = run_list(x0, layers_w, list_vals,
+                                               list_scales)
+    sync(out)
+    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+    log(f"{'listcache':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
+        f" [per-layer buffers, in-place DUS, prod semantics]")
+
+    # ---- E5: read-only over 28 DISTINCT per-layer buffers --------------
+    # (+attn reads layer 0's slice 28 times, which XLA may hoist/reuse;
+    # this variant reads a different buffer per layer, no writes)
+    def ro_step(x, layers_w, vals, scls):
+        x = x.astype(jnp.float32)
+        for l in range(L):
+            wl = jax.tree.map(lambda a: a[l], layers_w)
+            h = rms_norm(x, wl["attn_norm"], eps).astype(jnp.bfloat16)
+            qkv = jnp.dot(h, wl["wqkv"], preferred_element_type=jnp.float32)
+            q = qkv[:, :nq].reshape(B, 1, n_heads, D)
+            q = rope_neox(rms_norm(q, wl["q_norm"], eps), positions, theta)
+            if quant:
+                kc, vc = vals[l][0], vals[l][1]
+                ksc, vsc = scls[l][0], scls[l][1]
+            else:
+                kc, vc = vals[l][0], vals[l][1]
+                ksc = vsc = None
+            attn = decode_attention(q[:, 0].astype(jnp.bfloat16), kc, vc,
+                                    n_valid, read_ctx=RC,
+                                    k_scale=ksc, v_scale=vsc)
+            x = x + jnp.dot(attn.astype(jnp.bfloat16), wl["wo"],
+                            preferred_element_type=jnp.float32)
+            h2 = rms_norm(x, wl["ffn_norm"], eps).astype(jnp.bfloat16)
+            gu = jnp.dot(h2, wl["w_gu"], preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+            x = x + jnp.dot(act, wl["w_down"],
+                            preferred_element_type=jnp.float32)
+        return x
+
+    @jax.jit
+    def run_ro(x, layers_w, vals, scls):
+        def frame(carry, _):
+            return ro_step(carry, layers_w, vals, scls), None
+        y, _ = jax.lax.scan(frame, x, None, length=4)
+        return y
+
+    fn = lambda: run_ro(x0, layers_w, list_vals, list_scales)
+    timeit("read-only", fn)
+
+    # ---- E6: write-only (quantize + DUS per layer, no cache read) ------
+    def wo_step(x, layers_w, vals, scls):
+        vals, scls = list(vals), list(scls)
+        x = x.astype(jnp.float32)
+        for l in range(L):
+            wl = jax.tree.map(lambda a: a[l], layers_w)
+            h = rms_norm(x, wl["attn_norm"], eps).astype(jnp.bfloat16)
+            qkv = jnp.dot(h, wl["wqkv"], preferred_element_type=jnp.float32)
+            q = qkv[:, :nq].reshape(B, 1, n_heads, D)
+            k = qkv[:, nq:nq + nk].reshape(B, 1, n_kv, D)
+            v = qkv[:, nq + nk:].reshape(B, 1, n_kv, D)
+            q = rope_neox(rms_norm(q, wl["q_norm"], eps), positions, theta)
+            k = rope_neox(rms_norm(k, wl["k_norm"], eps), positions, theta)
+            if quant:
+                from qwen3_tts_tpu.models.stack import quantize_kv_rows
+                k_row, k_s = quantize_kv_rows(k[:, 0])
+                v_row, v_s = quantize_kv_rows(v[:, 0])
+                new_kv = jnp.stack([k_row, v_row])[:, :, :, None, :]
+                vals[l] = jax.lax.dynamic_update_slice(
+                    vals[l], new_kv, (0, 0, 0, write_idx, 0))
+                new_s = jnp.stack([k_s, v_s])[:, :, :, None]
+                scls[l] = jax.lax.dynamic_update_slice(
+                    scls[l], new_s, (0, 0, 0, write_idx))
+            else:
+                new_kv = jnp.stack([k[:, 0], v[:, 0]]).astype(
+                    jnp.bfloat16)[:, :, :, None, :]
+                vals[l] = jax.lax.dynamic_update_slice(
+                    vals[l], new_kv, (0, 0, 0, write_idx, 0))
+            attn_in = (q.reshape(B, nq)
+                       + jnp.mean(v) * 0).astype(jnp.bfloat16)
+            x = x + jnp.dot(attn_in, wl["wo"],
+                            preferred_element_type=jnp.float32)
+            h2 = rms_norm(x, wl["ffn_norm"], eps).astype(jnp.bfloat16)
+            gu = jnp.dot(h2, wl["w_gu"], preferred_element_type=jnp.float32)
+            act = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+            x = x + jnp.dot(act, wl["w_down"],
+                            preferred_element_type=jnp.float32)
+        return x, vals, scls
+
+    @partial(jax.jit, donate_argnums=(2, 3) if quant else (2,))
+    def run_wo(x, layers_w, vals, scls):
+        def frame(carry, _):
+            x, vals, scls = carry
+            y, nv, ns = wo_step(x, layers_w, vals, scls)
+            return (y, tuple(nv), tuple(ns)), None
+        (y, vals, scls), _ = jax.lax.scan(
+            frame, (x, tuple(vals), tuple(scls)), None, length=4)
+        return y, vals, scls
+
+    out, list_vals, list_scales = run_wo(x0, layers_w, list_vals,
+                                         list_scales)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, list_vals, list_scales = run_wo(x0, layers_w, list_vals,
+                                             list_scales)
+    sync(out)
+    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+    log(f"{'write-only':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+        f"us/layer) [quantize + per-layer DUS, no cache read]")
 
 
 if __name__ == "__main__":
