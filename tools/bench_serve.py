@@ -42,7 +42,17 @@ def main():
     ap.add_argument("--requests", type=int, default=48)
     ap.add_argument("--frames", type=int, default=120,
                     help="per-request frame cap (~9.6 s audio at 12.5 Hz)")
+    ap.add_argument("--kv", choices=("bf16", "int8"), default=None,
+                    help="talker KV dtype (sets QWEN3_TTS_KV)")
+    ap.add_argument("--cache", choices=("stacked", "layered"), default=None,
+                    help="talker KV cache layout (sets QWEN3_TTS_CACHE)")
     args = ap.parse_args()
+
+    import os
+    if args.kv is not None:
+        os.environ["QWEN3_TTS_KV"] = args.kv
+    if args.cache is not None:
+        os.environ["QWEN3_TTS_CACHE"] = args.cache
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
