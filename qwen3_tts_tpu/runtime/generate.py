@@ -298,29 +298,31 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
                      preferred_element_type=jnp.float32)
 
+    # Duplicate slots must resolve last-wins, but XLA scatter order with
+    # duplicate indices is unspecified — so rewrite every entry's payload
+    # to its LAST occurrence's: colliding writes then carry identical data
+    # and any write order (scatter or sequential) gives the same result.
+    last = jnp.max(jnp.where(slots[:, None] == slots[None, :],
+                             jnp.arange(K)[None, :], -1), axis=1)
+    dd = lambda a: jnp.take(a, last, axis=0)     # dedup along the K axis
+
     kv = jnp.stack([ks, vs], axis=1)
     kv = kv.transpose(0, 1, 2, 4, 3, 5)          # [L,2,K,kv,P,D] kv-major
     cache = state.kv_cache                       # [L,2,B,kv,S,D] or layered
     if is_layered(cache):
+        # ONE scatter per layer (vs. K sequential DUS x 28 layers, a
+        # compile-size bomb at K=96) — safe because of the dedup above.
         layers = []
         for l, cl in enumerate(cache):
+            kv_l = kv[l][:, last]                # [2,K,kv,P,D] deduped
             if isinstance(cl, QuantKV):
-                qv, qs = quantize_kv_rows(kv[l])
-                values, scales = cl.values, cl.scales
-                for i in range(K):
-                    # sequential writes: duplicate slots resolve last-wins
-                    values = jax.lax.dynamic_update_slice(
-                        values, qv[:, i:i + 1], (0, slots[i], 0, 0, 0))
-                    scales = jax.lax.dynamic_update_slice(
-                        scales, qs[:, i:i + 1], (0, slots[i], 0, 0))
-                layers.append(QuantKV(values, scales))
+                qv, qs = quantize_kv_rows(kv_l)
+                layers.append(QuantKV(
+                    values=cl.values.at[:, slots, :, :P, :].set(qv),
+                    scales=cl.scales.at[:, slots, :, :P].set(qs)))
             else:
-                cl_new = cl
-                kv_l = kv[l].astype(cl.dtype)
-                for i in range(K):
-                    cl_new = jax.lax.dynamic_update_slice(
-                        cl_new, kv_l[:, i:i + 1], (0, slots[i], 0, 0, 0))
-                layers.append(cl_new)
+                layers.append(
+                    cl.at[:, slots, :, :P, :].set(kv_l.astype(cl.dtype)))
         cache = tuple(layers)
     elif isinstance(cache, QuantKV):
         qv, qs = quantize_kv_rows(kv)
@@ -345,8 +347,8 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
         kv_cache=cache,
         n_past=state.n_past.at[slots].set(P),
         frame_idx=state.frame_idx.at[slots].set(0),
-        last_hidden=state.last_hidden.at[slots].set(h),
-        logits=state.logits.at[slots].set(logits),
+        last_hidden=state.last_hidden.at[slots].set(dd(h)),
+        logits=state.logits.at[slots].set(dd(logits)),
         seen_mask=state.seen_mask.at[slots].set(False),
         done=state.done.at[slots].set(False),
         key=state.key,
@@ -356,12 +358,12 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     )
     new_consts = GenConsts(
         trailing_hidden=consts.trailing_hidden.at[slots].set(
-            prefill.trailing_hidden),
+            dd(prefill.trailing_hidden)),
         trailing_len=consts.trailing_len.at[slots].set(
-            prefill.trailing_len),
+            dd(prefill.trailing_len)),
         tts_pad_embed=consts.tts_pad_embed.at[slots].set(
-            prefill.tts_pad_embed),
-        expected_frames=consts.expected_frames.at[slots].set(expected),
+            dd(prefill.tts_pad_embed)),
+        expected_frames=consts.expected_frames.at[slots].set(dd(expected)),
         temperature=consts.temperature,
         repetition_penalty=consts.repetition_penalty,
     )

@@ -201,3 +201,53 @@ def test_sharded_layered_matches_single(setup, quant):
                                      lockstep=True)
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(base_codes))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(base_valid))
+
+
+@pytest.mark.parametrize("layered", [False, True])
+def test_admit_duplicate_slots_last_wins(setup, layered):
+    """admit_slots' contract: duplicate slot entries resolve last-wins
+    (serving pads K to a fixed shape by repeating admissions). The
+    layered path writes via one scatter per layer after an on-device
+    payload dedup; this pins the ordering semantics for both layouts by
+    admitting two DIFFERENT requests to the same slot."""
+    cfg, w, prefill = setup
+    B = prefill.prefill_embd.shape[0]
+    chunk = 4
+    ctx = required_ctx_ring(2 * chunk, chunk)
+    rng = np.random.default_rng(160)
+    tokens2 = jnp.asarray(rng.integers(0, cfg.text_vocab_size, (B, 16)),
+                          jnp.int32)
+    prefill2 = talker.build_prefill_inputs(
+        w, cfg, tokens2, jnp.full((B,), 16, jnp.int32),
+        jnp.zeros((B, cfg.hidden_size), jnp.float32))
+
+    def base_state():
+        dummy = talker.build_prefill_inputs(
+            w, cfg, jnp.zeros((B, 16), jnp.int32),
+            jnp.full((B,), 16, jnp.int32),
+            jnp.zeros((B, cfg.hidden_size), jnp.float32))
+        state = init_state(w, cfg, dummy, ctx, jax.random.PRNGKey(0),
+                           active=jnp.zeros((B,), bool),
+                           kv_layered=layered)
+        return state, make_consts(dummy, 0.0, 1.05)
+
+    two = jax.tree.map(
+        lambda a, b: jnp.concatenate([a[:1], b[:1]]), prefill, prefill2)
+
+    # duplicate writes to slot 0: prefill row then prefill2 row (last wins)
+    state, consts = base_state()
+    state, consts = admit_slots(w, cfg, state, consts,
+                                jnp.asarray([0, 0], jnp.int32), two)
+
+    # reference: admit only the LAST entry
+    ref_state, ref_consts = base_state()
+    one = jax.tree.map(lambda a: a[1:], two)
+    ref_state, ref_consts = admit_slots(w, cfg, ref_state, ref_consts,
+                                        jnp.asarray([0], jnp.int32), one)
+
+    _, codes, _ = generate_chunk(w, cfg, state, consts, 50, chunk,
+                                 ring=True, read_ctx=ctx)
+    _, ref_codes, _ = generate_chunk(w, cfg, ref_state, ref_consts, 50,
+                                     chunk, ring=True, read_ctx=ctx)
+    np.testing.assert_array_equal(np.asarray(codes)[:, 0],
+                                  np.asarray(ref_codes)[:, 0])
