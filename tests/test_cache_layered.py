@@ -251,3 +251,67 @@ def test_admit_duplicate_slots_last_wins(setup, layered):
                                      chunk, ring=True, read_ctx=ctx)
     np.testing.assert_array_equal(np.asarray(codes)[:, 0],
                                   np.asarray(ref_codes)[:, 0])
+
+
+def test_pipeline_env_flag_layered(monkeypatch):
+    """QWEN3_TTS_CACHE=layered routes the full pipeline through per-layer
+    cache buffers (with int8 on top) and matches the stacked output."""
+    import dataclasses
+
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from .test_tokenizer import make_tiny_tokenizer
+
+    rng = np.random.default_rng(161)
+    cfg = tiny_talker_config()
+    w = init_talker_weights(rng, cfg)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    engine = Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                      voc_cfg, voc_w)
+    p = TTSParams(max_audio_tokens=6, temperature=0.0,
+                  print_timing=False, seed=0)
+    base = engine.synthesize("hello world.", p)
+    monkeypatch.setenv("QWEN3_TTS_CACHE", "layered")
+    monkeypatch.setenv("QWEN3_TTS_KV", "int8")
+    got = engine.synthesize("hello world.", p)
+    assert got.success
+    assert abs(got.n_frames - base.n_frames) <= 1
+    assert len(got.audio) > 0
+
+
+def test_serving_env_flag_layered(monkeypatch):
+    """ContinuousBatcher under QWEN3_TTS_CACHE=layered completes requests
+    and produces the same frame counts as the stacked run (greedy)."""
+    import dataclasses
+
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from qwen3_tts_tpu.runtime.serve import ContinuousBatcher
+    from .test_tokenizer import make_tiny_tokenizer
+
+    rng = np.random.default_rng(162)
+    cfg = tiny_talker_config()
+    w = init_talker_weights(rng, cfg)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    engine = Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                      voc_cfg, voc_w)
+    params = TTSParams(temperature=0.0, top_k=50, print_timing=False,
+                       seed=0)
+
+    def run():
+        cb = ContinuousBatcher(engine, n_slots=2, params=params,
+                               max_frames=12)
+        r1 = cb.submit("hello world.")
+        r2 = cb.submit("hello.")
+        results = cb.run_all()
+        assert all(r.success for r in results.values())
+        return [results[r1].n_frames, results[r2].n_frames]
+
+    base = run()
+    monkeypatch.setenv("QWEN3_TTS_CACHE", "layered")
+    got = run()
+    assert got == base
