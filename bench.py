@@ -70,6 +70,25 @@ def main() -> None:
     if args.cache is not None:
         os.environ["QWEN3_TTS_CACHE"] = args.cache
 
+    # Backend-init watchdog: when the axon tunnel is unhealthy,
+    # jax.devices() hangs indefinitely (observed: a multi-hour relay
+    # outage where every probe blocked at PJRT init). Fail fast with a
+    # machine-readable error instead of wedging the driver.
+    import threading
+    init_done = threading.Event()
+    watchdog_s = float(os.environ.get("QWEN3_TTS_BENCH_INIT_TIMEOUT", "300"))
+
+    def _watchdog():
+        if not init_done.wait(watchdog_s):
+            print(json.dumps({
+                "metric": "bench_error", "value": 0, "unit": "none",
+                "vs_baseline": 0,
+                "error": f"TPU backend init exceeded {watchdog_s:.0f}s "
+                         "(axon tunnel down?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the 20-100s compiles
@@ -78,6 +97,8 @@ def main() -> None:
 
     import jax.numpy as jnp
     import numpy as np
+    jax.devices()          # force PJRT init under the watchdog
+    init_done.set()
 
     def sync(x):
         # block_until_ready is unreliable on the experimental axon
