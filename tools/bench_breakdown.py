@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--kv", choices=("bf16", "int8"), default="bf16",
                     help="talker KV cache dtype (bench.py --kv)")
+    ap.add_argument("--cache", choices=("stacked", "layered"),
+                    default="stacked",
+                    help="talker KV cache layout (bench.py --cache)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +70,8 @@ def main():
     prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
     ctx = required_ctx(prefill.prefill_embd.shape[1], 400, 40)
     state = init_state(w, cfg, prefill, ctx, jax.random.PRNGKey(1),
-                       kv_quant=args.kv == "int8")
+                       kv_quant=args.kv == "int8",
+                       kv_layered=args.cache == "layered")
     consts = make_consts(prefill, 0.9, 1.05)
     sync(state.logits)
 
