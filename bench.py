@@ -34,12 +34,15 @@ def log(msg: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    # B=192 with the int8 talker KV cache is the round-3 sweet spot on
-    # one v5e chip: 34.9 ms/frame vs the 80 ms realtime budget — 192
-    # concurrent realtime streams at 56% margin, 0.182 ms/frame/stream
-    # (440x the reference). B=160 bf16-KV: 29.4 ms (436x).
+    # B=192 is the round-3 sweet spot on one v5e chip: 34.9 ms/frame vs
+    # the 80 ms realtime budget — 192 concurrent realtime streams at 56%
+    # margin, 0.182 ms/frame/stream (440x the reference); B=160: 29.4 ms
+    # (436x). Both measured with bf16 KV (see --kv below).
     ap.add_argument("--batch", type=int, default=192)
-    ap.add_argument("--kv", choices=("int8", "bf16"), default="int8",
+    # Default bf16: the recorded B=192 34.9 ms ladder ran bf16 (the old
+    # --kv int8 plumbing bug, NOTES.md round 3); int8 is tested but not
+    # yet measured on chip — switch the default once r3_measure.sh lands.
+    ap.add_argument("--kv", choices=("int8", "bf16"), default="bf16",
                     help="talker KV cache dtype (int8 halves KV memory "
                          "+ read bandwidth; code predictor stays bf16 "
                          "per the reference constraint, README.md:72)")
