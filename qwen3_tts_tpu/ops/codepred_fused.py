@@ -101,12 +101,19 @@ def _fits(B: int, n_layers: int) -> bool:
 def supported(cfg, B: int, w) -> bool:
     """Kernel preconditions: reference dims, fused wqkv layout (tp=1),
     no mtp projection (0.6B), batch multiple of 8, VMEM fit — either
-    directly or as two sequential halves (B > MAX_SINGLE_B)."""
+    directly or as two sequential halves (MAX_SINGLE_B < B <= 2x).
+
+    The layer count must be exactly L_DEFAULT: the weight-DMA ring is
+    race-free only when NT = 2 + 15*L + 3 tiles/step is a multiple of
+    the ring depth (8 and 4 both divide 80 at L=5; no other L works —
+    a wrapping prefetch would otherwise start a DMA into a buffer whose
+    previous transfer is still in flight)."""
     cp = w["code_pred"]
     L = cfg.code_pred_layers
     return (
         cp.get("mtp_w") is None
         and "wqkv" in cp["layers"]
+        and L == L_DEFAULT
         and cfg.code_pred_hidden_size == H
         and cfg.code_pred_n_attention_heads == NH
         and cfg.code_pred_n_kv_heads == NKV
@@ -115,7 +122,8 @@ def supported(cfg, B: int, w) -> bool:
         and cfg.code_pred_vocab_size == V
         and cfg.n_codebooks == CTX
         and (_fits(B, L) if B <= MAX_SINGLE_B
-             else (B % 16 == 0 and _fits(B // 2, L)))
+             else (B % 16 == 0 and B <= 2 * MAX_SINGLE_B
+                   and _fits(B // 2, L)))
     )
 
 

@@ -9,9 +9,10 @@ a fresh serving process loads the serving set in seconds instead of
 paying ~50 s per vocoder bucket through the remote-compile tunnel.
 
 Artifacts are keyed by a caller-supplied name plus a fingerprint of the
-jax version and device kind; a stale or incompatible artifact falls back
-to a normal compile (graceful degradation, the reference's policy for
-missing engines, qwen3_tts.cpp:193-196).
+jax version, device kind, and a content hash of the package sources (so
+code edits invalidate artifacts); a stale or incompatible artifact falls
+back to a normal compile (graceful degradation, the reference's policy
+for missing engines, qwen3_tts.cpp:193-196).
 
 Usage:
     cache = AotCache()                       # default .aot_cache dir
@@ -28,6 +29,7 @@ order. Donation semantics are preserved.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 import sys
@@ -36,17 +38,33 @@ from pathlib import Path
 
 import jax
 
-DEFAULT_DIR = os.environ.get("QWEN3_TTS_AOT_DIR", "/root/repo/.aot_cache")
+# Default next to the package checkout (…/qwen3_tts_tpu/../.aot_cache),
+# not a hardcoded absolute path — a wrong location silently disables
+# persistence (every process would pay the full ~9 min compile set).
+_PKG_DIR = Path(__file__).resolve().parents[1]
+DEFAULT_DIR = os.environ.get("QWEN3_TTS_AOT_DIR",
+                             str(_PKG_DIR.parent / ".aot_cache"))
 
 
 def _log(msg: str) -> None:
     print(f"  [aot] {msg}", file=sys.stderr, flush=True)
 
 
+def _source_hash() -> str:
+    """Content hash of the package's .py sources: editing model/runtime
+    code must invalidate artifacts, else a fixed bug keeps executing from
+    the stale pre-fix executable with no error."""
+    h = hashlib.sha1()
+    for p in sorted(_PKG_DIR.rglob("*.py")):
+        h.update(p.relative_to(_PKG_DIR).as_posix().encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:10]
+
+
 def _fingerprint() -> str:
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", dev.platform).replace(" ", "_")
-    return f"{jax.__version__}-{dev.platform}-{kind}"
+    return f"{jax.__version__}-{dev.platform}-{kind}-{_source_hash()}"
 
 
 class _LoadedExec:
@@ -127,7 +145,10 @@ class AotCache:
                 device_ids = [d.id for d in jax.devices()]
             self.dir.mkdir(parents=True, exist_ok=True)
             path = self._path(key)
-            tmp = path.with_suffix(".tmp")
+            # pid-suffixed temp: concurrent warmups on one host must not
+            # interleave writes into the same temp file (os.replace is
+            # then atomic per writer; last publisher wins)
+            tmp = path.with_suffix(f".tmp{os.getpid()}")
             with open(tmp, "wb") as f:
                 pickle.dump((blob, in_tree, out_tree, device_ids), f)
             os.replace(tmp, path)

@@ -132,9 +132,17 @@ def init_state(w, cfg: TalkerConfig, prefill: talker.PrefillInputs,
     return state
 
 
+def expected_frames(n_text_tokens: jax.Array) -> jax.Array:
+    """EOS-ramp threshold (tts_transformer.cpp:2439-2445): after
+    max(20, 4*n_text_tokens) frames the EOS logit is blended upward.
+    Single definition shared by make_consts and admit_slots so initial
+    and mid-serve-admitted streams can never diverge in ramp policy."""
+    return jnp.maximum(20, n_text_tokens * 4).astype(jnp.int32)
+
+
 def make_consts(prefill: talker.PrefillInputs, temperature: float,
                 repetition_penalty: float) -> GenConsts:
-    expected = jnp.maximum(20, prefill.n_text_tokens * 4).astype(jnp.int32)
+    expected = expected_frames(prefill.n_text_tokens)
     return GenConsts(
         trailing_hidden=prefill.trailing_hidden,
         trailing_len=prefill.trailing_len,
@@ -325,22 +333,15 @@ def admit_slots(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                     cl.at[:, slots, :, :P, :].set(kv_l.astype(cl.dtype)))
         cache = tuple(layers)
     elif isinstance(cache, QuantKV):
-        qv, qs = quantize_kv_rows(kv)
-        values, scales = cache.values, cache.scales
-        for i in range(K):
-            # sequential scalar-slot writes: duplicates resolve last-wins
-            values = jax.lax.dynamic_update_slice(
-                values, qv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
-            scales = jax.lax.dynamic_update_slice(
-                scales, qs[:, :, i:i + 1], (0, 0, slots[i], 0, 0))
-        cache = QuantKV(values, scales)
+        qv, qs = quantize_kv_rows(kv[:, :, last])
+        cache = QuantKV(
+            values=cache.values.at[:, :, slots, :, :P, :].set(qv),
+            scales=cache.scales.at[:, :, slots, :, :P].set(qs))
     else:
-        kv = kv.astype(cache.dtype)
-        for i in range(K):
-            cache = jax.lax.dynamic_update_slice(
-                cache, kv[:, :, i:i + 1], (0, 0, slots[i], 0, 0, 0))
+        cache = cache.at[:, :, slots, :, :P, :].set(
+            kv[:, :, last].astype(cache.dtype))
 
-    expected = jnp.maximum(20, prefill.n_text_tokens * 4).astype(jnp.int32)
+    expected = expected_frames(prefill.n_text_tokens)
     S = state.valid_mask.shape[1]
     prefix_mask = jnp.broadcast_to(jnp.arange(S) < P, (K, S))
     new_state = GenState(

@@ -130,6 +130,14 @@ class ContinuousBatcher:
         self._steps_done = 0
         self._inflight = None  # (codes, valid, done) of the enqueued chunk
         seed = self.params.seed if self.params.seed is not None else 0
+        # Ring-cache invariant at state creation, mirroring admit_slots:
+        # a prefill longer than the reserved region would put write_slot
+        # past RING_PREFILL_SLOTS, and the ring wrap would then clobber
+        # still-valid prefill rows [RING_PREFILL_SLOTS, P).
+        P = prefill.prefill_embd.shape[1]
+        assert P <= RING_PREFILL_SLOTS, (
+            f"prefill length {P} exceeds RING_PREFILL_SLOTS "
+            f"{RING_PREFILL_SLOTS}; raise RING_PREFILL_SLOTS")
         from .generate import kv_layered_enabled, kv_quant_enabled
         self.state = init_state(self.engine.talker_w, cfg, prefill,
                                 self.ctx, jax.random.PRNGKey(seed),
