@@ -403,9 +403,9 @@ class Qwen3TTS:
             valid_h = np.asarray(valid_d)        # [chunk, B]
             for b in range(B):
                 got = codes_h[valid_h[:, b], b]
-                if len(frames[b]) + len(got) > p.max_audio_tokens:
-                    got = got[:p.max_audio_tokens - sum(
-                        len(f) for f in frames[b])]
+                have = sum(len(f) for f in frames[b])
+                if have + len(got) > p.max_audio_tokens:
+                    got = got[:p.max_audio_tokens - have]
                 if len(got):
                     frames[b].append(got)
             if p.streaming_vocoder and self.voc_w is not None:
@@ -497,7 +497,7 @@ class Qwen3TTS:
     # Decode-batch buckets: a mostly-idle server decodes 1 ready stream at
     # bucket-1 cost instead of padding to the full slot count; one
     # compiled vocoder graph per bucket.
-    VOC_BUCKETS = (1, 4, 8, 16, 32)
+    VOC_BUCKETS = (1, 4, 8, 16, 32, 64, 128)
 
     def voc_bucket(self, n_ready: int, cap: int) -> int:
         """Smallest decode-batch bucket covering n_ready, capped at the
@@ -508,18 +508,22 @@ class Qwen3TTS:
         return cap
 
     def _decode_chunk_batch(self, codes: np.ndarray,
-                            pcm16: bool = False):
+                            pcm16: bool = False,
+                            max_batch: int | None = None):
         """[n, CHUNK, 16] -> [n, CHUNK*1920] (causal/TRT sample
-        arithmetic); split into sub-batches of VOC_MAX_BATCH to bound
-        activation memory.
+        arithmetic); split into sub-batches of max_batch (default
+        VOC_MAX_BATCH) to bound activation memory — callers with bigger
+        resident state (the continuous batcher) pass a smaller cap
+        per-call rather than mutating this shared engine.
 
         pcm16=True (serving fast path): returns a DEVICE int16 array —
         the host readback is deferred until the audio is consumed, so
         the device->host transfer overlaps subsequent device compute
         and moves half the bytes (int16 is the WAV payload anyway)."""
         n = len(codes)
+        cap = self.VOC_MAX_BATCH if max_batch is None else max_batch
         codes_j = jnp.asarray(codes, jnp.int32)
-        if n <= self.VOC_MAX_BATCH:
+        if n <= cap:
             out = self._voc_fn(n, codes.shape[1], None, pcm16)(
                 self.voc_w, codes_j)
             return out if pcm16 else np.asarray(out)
@@ -527,8 +531,8 @@ class Qwen3TTS:
         # sub-batch size dividing n (dispatches through the axon tunnel
         # cost 1-200 ms each; a python loop of sub-batches was measured
         # 3.5x slower than its own compute under tunnel load)
-        sub = next(d for d in (self.VOC_MAX_BATCH, 32, 16, 8, 4, 2, 1)
-                   if n % d == 0)
+        sub = next(d for d in (cap, 32, 16, 8, 4, 2, 1)
+                   if d <= cap and n % d == 0)
         out = self._voc_fn(n, codes.shape[1], sub, pcm16)(
             self.voc_w, codes_j)
         return out if pcm16 else np.asarray(out)
@@ -617,6 +621,22 @@ class Qwen3TTS:
         part = part.resolve() if isinstance(part, PCMRef) else np.asarray(part)
         return part.astype(np.float32) / 32767.0
 
+    @staticmethod
+    def _slice_pieces(pieces, start: int, count: int) -> np.ndarray:
+        """rows [start, start+count) of the virtual concatenation of
+        `pieces` — without materializing the whole history every wave
+        (that re-concat was O(total_frames^2) host work per stream)."""
+        out, seen, end = [], 0, start + count
+        for arr in pieces:
+            a0, a1 = seen, seen + len(arr)
+            seen = a1
+            if a1 <= start:
+                continue
+            if a0 >= end:
+                break
+            out.append(arr[max(0, start - a0):end - a0])
+        return out[0] if len(out) == 1 else np.concatenate(out)
+
     def _decode_streaming(self, frames, audio_parts, on_chunk) -> None:
         """Decode every stream that has accumulated a full 40-frame chunk,
         batched across streams (one [n, 40] vocoder call per wave).
@@ -628,8 +648,8 @@ class Qwen3TTS:
                 total = sum(len(f) for f in frames[b])
                 done = len(audio_parts[b]) * CHUNK_FRAMES
                 if total - done >= CHUNK_FRAMES:
-                    full = np.concatenate(frames[b])
-                    ready.append((b, full[done:done + CHUNK_FRAMES]))
+                    ready.append((b, self._slice_pieces(
+                        frames[b], done, CHUNK_FRAMES)))
             if not ready:
                 return
             nb = self.voc_bucket(len(ready), len(frames))

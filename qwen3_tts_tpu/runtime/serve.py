@@ -43,6 +43,7 @@ class _Slot:
     max_frames: int = 0
     t_start: float = 0.0
     on_audio: Callable[[np.ndarray, bool], None] | None = None
+    final_sent: bool = False   # a final=True on_audio callback fired
     error: str = ""
 
 
@@ -99,9 +100,11 @@ class ContinuousBatcher:
         # cache + an in-flight gen chunk leave no room for 48-wide
         # 76.8k-sample tail activations (measured OOM at B=224 with
         # 16-wide next to the pipelined gen chunk — bench.py VOC_SUB).
-        self.engine.VOC_MAX_BATCH = (48 if n_slots <= 96 else
-                                     32 if n_slots <= 128 else
-                                     16 if n_slots <= 192 else 8)
+        # Batcher-local (passed per decode call): writing it onto the
+        # shared engine leaked this batcher's cap into other users.
+        self.voc_max_batch = (48 if n_slots <= 96 else
+                              32 if n_slots <= 128 else
+                              16 if n_slots <= 192 else 8)
         # AOT-cached executables for the serving-hot jitted calls
         # (generation buckets, admissions, park), keyed by every
         # shape-determining parameter. See Qwen3TTS.aot.
@@ -174,6 +177,7 @@ class ContinuousBatcher:
             spk1 = jnp.zeros((K, self.cfg.hidden_size), jnp.float32)
             pf = talker.build_prefill_inputs(self.engine.talker_w,
                                              self.cfg, tok, tlen, spk1)
+            self._ensure_trailing_capacity(pf.trailing_hidden.shape[1])
             pf = pf._replace(trailing_hidden=self._pad_trailing(
                 pf.trailing_hidden))
             slots0 = jnp.zeros((K,), jnp.int32)
@@ -209,7 +213,7 @@ class ContinuousBatcher:
                 # bucket during live serving
                 self.engine._decode_chunk_batch(
                     np.zeros((nb, CHUNK_FRAMES, n_cb), np.int32),
-                    pcm16=True)
+                    pcm16=True, max_batch=self.voc_max_batch)
 
         # warm chunks advanced the ring; restore a pristine state
         self._reset_state()
@@ -338,15 +342,23 @@ class ContinuousBatcher:
             return
         batch = []
         token_lists = []
+        hidden = self.cfg.hidden_size
         while len(batch) < take and self._queue:
             item = self._queue.pop(0)
-            try:
-                token_lists.append(
-                    self.engine.tokenizer.encode_for_tts(item[1]))
+            try:  # poisoned text/embedding fails ITS request only
+                toks = self.engine.tokenizer.encode_for_tts(item[1])
+                if item[2] is not None:
+                    emb = np.asarray(item[2], np.float32).reshape(-1)
+                    if emb.shape != (hidden,):
+                        raise ValueError(
+                            f"speaker embedding shape {emb.shape} != "
+                            f"({hidden},)")
+                    item = (item[0], item[1], emb, item[3])
+                token_lists.append(toks)
                 batch.append(item)
-            except Exception as e:  # poisoned text fails ITS request only
+            except Exception as e:
                 self._failed[item[0]] = self._error_result(
-                    f"tokenization failed: {type(e).__name__}: {e}")
+                    f"bad request: {type(e).__name__}: {e}")
         take = len(batch)
         if take == 0:
             return
@@ -579,10 +591,14 @@ class ContinuousBatcher:
             for slot, is_retired in targets:
                 remaining = slot.n_frames - slot.n_decoded
                 if remaining >= CHUNK_FRAMES:
+                    # a retired stream's last FULL chunk is its final
+                    # audio too (frame count an exact CHUNK multiple) —
+                    # streaming consumers key teardown on final=True
                     work.append((slot,
                                  slot.buf[slot.n_decoded:
                                           slot.n_decoded + CHUNK_FRAMES],
-                                 CHUNK_FRAMES, False))
+                                 CHUNK_FRAMES,
+                                 is_retired and remaining == CHUNK_FRAMES))
                 elif remaining > 0 and is_retired:
                     part = np.zeros((CHUNK_FRAMES, n_cb), np.int32)
                     part[:remaining] = slot.buf[slot.n_decoded:slot.n_frames]
@@ -595,7 +611,8 @@ class ContinuousBatcher:
                 batch[i] = chunk
             # int16 PCM on device; ONE whole-batch transfer per decode,
             # run on the readback thread so it overlaps device compute
-            audio = self.engine._decode_chunk_batch(batch, pcm16=True)
+            audio = self.engine._decode_chunk_batch(
+                batch, pcm16=True, max_batch=self.voc_max_batch)
             fut = self.engine.readback_submit(audio)
             for i, (slot, _, k, is_tail) in enumerate(work):
                 slot.n_decoded += k
@@ -609,6 +626,7 @@ class ContinuousBatcher:
                 if slot.on_audio:
                     try:
                         slot.on_audio(Qwen3TTS._pcm_to_f32(ref), is_tail)
+                        slot.final_sent = slot.final_sent or is_tail
                     except Exception as e:
                         # a raising sink fails ITS request, not the batch
                         slot.error = (f"on_audio callback failed: "
@@ -616,6 +634,16 @@ class ContinuousBatcher:
                         slot.on_audio = None
 
     def _finalize(self, slot: _Slot) -> TTSResult:
+        if slot.on_audio and not slot.final_sent and not slot.error:
+            # the stream's audio all went out while it was still live
+            # (e.g. it retired exactly at a decoded chunk boundary):
+            # close the stream with an empty final chunk
+            try:
+                slot.on_audio(np.zeros(0, np.float32), True)
+            except Exception as e:
+                slot.error = (f"on_audio callback failed: "
+                              f"{type(e).__name__}: {e}")
+            slot.final_sent = True
         r = TTSResult()
         r.n_frames = slot.n_frames
         try:

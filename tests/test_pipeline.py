@@ -144,3 +144,13 @@ def test_embedding_cache_roundtrip(tmp_path):
     got = audio_io.load_embedding(path)
     np.testing.assert_array_equal(got, e)
     assert audio_io.load_embedding(str(tmp_path / "missing.embd")) is None
+
+
+def test_max_tokens_respected_multichunk(engine):
+    """The cap bounds TOTAL frames across chunks — the old check compared
+    the per-chunk list LENGTH against the cap, so any request spanning
+    more than one 40-frame chunk overshot (e.g. 80 frames at cap 50)."""
+    long_text = "hello world. " * 20  # n_text ~ hundreds -> EOS ramp >> 50
+    res = engine.synthesize(long_text, _params(max_audio_tokens=50))
+    assert res.success
+    assert res.n_frames <= 50

@@ -268,3 +268,44 @@ def test_aot_artifacts_reload_across_batchers(engine, tmp_path, monkeypatch):
     out2 = cb2.run_all()
     assert loads and all(hit for _, hit in loads), loads
     np.testing.assert_array_equal(out1[r1].audio, out2[r2].audio)
+
+
+def test_streaming_final_fires_exactly_once(engine):
+    """A stream whose frame count is an exact CHUNK_FRAMES multiple must
+    still get exactly one final=True callback (retire at the 40-frame
+    cap; the old code only flagged ragged tails)."""
+    got = []
+    cb = ContinuousBatcher(engine, n_slots=1, params=_params(),
+                           max_frames=40)
+    cb.submit("hello world. " * 10,
+              on_audio=lambda a, final: got.append((len(a), final)))
+    results = cb.run_all()
+    assert list(results.values())[0].success
+    finals = [f for _, f in got]
+    assert sum(finals) == 1 and finals[-1] is True
+
+
+def test_bad_embedding_fails_only_its_request(engine):
+    """A wrong-shape speaker embedding fails ITS request; the concurrent
+    stream completes (the old path raised outside the per-request guard
+    and took down the whole in-flight batch)."""
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(),
+                           max_frames=8)
+    r_bad = cb.submit("hello world.", embedding=np.zeros(7, np.float32))
+    r_ok = cb.submit("hello.")
+    results = cb.run_all()
+    assert not results[r_bad].success
+    assert "embedding" in results[r_bad].error_msg
+    assert results[r_ok].success
+
+
+def test_warmup_long_token_bucket(engine):
+    """warmup() must grow the trailing buffer exactly like the live
+    admission path; warming a long-text bucket used to crash on the
+    _pad_trailing capacity assert."""
+    cb = ContinuousBatcher(engine, n_slots=1, params=_params(),
+                           max_frames=32, trailing_buf=16)
+    cb.warmup(token_buckets=(64,))
+    assert cb.trailing_buf >= 32  # grew (capped at max_frames)
+    r = cb.submit("hello.")
+    assert cb.run_all()[r].success
