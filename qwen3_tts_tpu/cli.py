@@ -74,7 +74,16 @@ def resolve_embedding(tts: Qwen3TTS, embedding_file: str | None,
     (resolve_embedding, main.cpp:62-91)."""
     if not embedding_file:
         return None
+    hidden = tts.talker_cfg.hidden_size if tts.talker_cfg else None
     emb = audio_io.load_embedding(embedding_file)
+    if emb is not None and hidden is not None and len(emb) != hidden:
+        # stale/truncated cache: failing later inside the jitted prefill
+        # gives a cryptic shape error — validate here, where we can still
+        # re-encode from the reference audio
+        _err(f"Warning: cached embedding {embedding_file} has {len(emb)} "
+             f"floats, model expects {hidden}"
+             + ("; re-encoding" if reference_audio else ""))
+        emb = None
     if emb is not None and len(emb):
         _err(f"Loaded cached speaker embedding: {embedding_file} "
              f"({len(emb)} floats)")
@@ -102,11 +111,41 @@ def synthesize_one(tts: Qwen3TTS, text: str, speaker_embd, reference_audio,
     return tts.synthesize(text, params)
 
 
-def run_server(tts: Qwen3TTS, speaker_embd, reference_audio,
+def _parse_request_line(line: str):
+    """One stdin TSV protocol line -> ("quit"|None|(text, out_file)).
+    Shared by both server modes so they can never parse differently."""
+    line = line.rstrip("\r\n")
+    if not line:
+        return None
+    if line in ("quit", "exit"):
+        return "quit"
+    if "\t" in line:
+        text, out_file = line.split("\t", 1)
+    else:
+        text, out_file = line, "output.wav"
+    return text, out_file
+
+
+def _more_input_ready(stream) -> bool:
+    """True if another request line is already buffered on `stream`.
+    Non-selectable streams (StringIO, pipes on exotic platforms) report
+    True — batching then falls back to the size/EOF triggers."""
+    try:
+        import select
+        return bool(select.select([stream], [], [], 0.0)[0])
+    except (OSError, ValueError, TypeError):
+        return True
+
+
+def run_server(tts: Qwen3TTS, speaker_embd,
                params: TTSParams, batch: int = 1,
                stdin=None, stdout=None) -> int:
-    """stdin TSV server loop (run_server, main.cpp:109-163), with optional
-    lock-step batching of up to `batch` queued requests per step."""
+    """stdin TSV server loop (run_server, main.cpp:109-163), with
+    opportunistic lock-step batching: up to `batch` queued requests
+    synthesize together, but the queue flushes whenever stdin has no
+    further line already buffered — a request/response client that waits
+    for each OK before sending the next is never deadlocked waiting for
+    the batch to fill."""
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     _err("\nServer ready. Send: text<TAB>output.wav  (or 'quit' to exit)")
@@ -139,18 +178,15 @@ def run_server(tts: Qwen3TTS, speaker_embd, reference_audio,
         pending.clear()
 
     for line in stdin:
-        line = line.rstrip("\r\n")
-        if not line:
+        req = _parse_request_line(line)
+        if req is None:
             continue
-        if line in ("quit", "exit"):
+        if req == "quit":
             break
-        if "\t" in line:
-            text, out_file = line.split("\t", 1)
-        else:
-            text, out_file = line, "output.wav"
+        text, out_file = req
         _err(f'Synthesizing: "{text}" -> {out_file}')
         pending.append((text, out_file))
-        if len(pending) >= max(batch, 1):
+        if len(pending) >= max(batch, 1) or not _more_input_ready(stdin):
             flush_pending()
     flush_pending()
     _err("Server shutting down.")
@@ -176,16 +212,12 @@ def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
 
     def reader() -> None:
         for line in stdin:
-            line = line.rstrip("\r\n")
-            if not line:
+            req = _parse_request_line(line)
+            if req is None:
                 continue
-            if line in ("quit", "exit"):
+            if req == "quit":
                 break
-            if "\t" in line:
-                text, out_file = line.split("\t", 1)
-            else:
-                text, out_file = line, "output.wav"
-            requests.put((text, out_file))
+            requests.put(req)
         requests.put(None)
 
     threading.Thread(target=reader, daemon=True).start()
@@ -201,7 +233,6 @@ def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
     eof = False
     while not eof or cb.pending():
         # admit everything queued right now
-        drained = False
         while True:
             try:
                 item = requests.get_nowait()
@@ -213,7 +244,6 @@ def run_server_continuous(tts: Qwen3TTS, speaker_embd, params: TTSParams,
             text, out_file = item
             rid = cb.submit(text, speaker_embd)
             outputs[rid] = out_file
-            drained = True
             _err(f'Admitted: "{text}" -> {out_file}')
         if not cb.pending():
             if eof:
@@ -280,10 +310,13 @@ def main(argv=None) -> int:
 
     if args.serve:
         if args.continuous:
+            n_slots = max(args.batch, 2)
+            if n_slots != args.batch:
+                _err(f"Note: continuous mode needs >= 2 slots; "
+                     f"using {n_slots} (requested --batch {args.batch})")
             return run_server_continuous(tts, speaker_embd, params,
-                                         max(args.batch, 2), args.max_frames)
-        return run_server(tts, speaker_embd, args.reference, params,
-                          args.batch)
+                                         n_slots, args.max_frames)
+        return run_server(tts, speaker_embd, params, args.batch)
 
     _err(f'Synthesizing: "{args.text}"')
     res = synthesize_one(tts, args.text, speaker_embd, args.reference, params)

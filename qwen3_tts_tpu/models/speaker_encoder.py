@@ -96,12 +96,7 @@ def mel_spectrogram(samples: np.ndarray,
     if n_frames <= 0:
         raise ValueError("audio too short for mel spectrogram")
 
-    # centered periodic Hann (compute_centered_window, :109-118)
-    window = np.zeros(cfg.n_fft, np.float32)
-    off = (cfg.n_fft - cfg.win_length) // 2
-    i = np.arange(cfg.win_length)
-    window[off:off + cfg.win_length] = \
-        0.5 * (1.0 - np.cos(2.0 * np.pi * i / cfg.win_length))
+    window = _centered_hann(cfg)
 
     starts = np.arange(n_frames) * cfg.hop_length
     frames = padded[starts[:, None] + np.arange(cfg.n_fft)[None, :]] * window

@@ -360,12 +360,16 @@ def _decoder_block(w, x: jax.Array, rate: int,
         # (ops/vocoder_fused.py::fused_snake_convt)
         from ..ops.vocoder_fused import fused_snake_convt
         try:
-            x = fused_snake_convt(
+            y = fused_snake_convt(
                 x, w["snake_a"], w["snake_b"], w["conv_t_w"],
                 w["conv_t_b"], rate, interpret=impl == "fused_interpret")
-            return _res_chain(w["res"], x)
-        except ValueError:
-            pass
+        except ValueError:  # unserved shape -> XLA chain below
+            y = None
+        if y is not None:
+            # _res_chain stays OUTSIDE the try: a ValueError escaping it
+            # after the head already ran must propagate, not re-apply
+            # snake+convT to the upsampled tensor (silent corruption)
+            return _res_chain(w["res"], y)
     x = snake(x, w["snake_a"], w["snake_b"])
     k = w["conv_t_w"].shape[-1]
     x = conv_transpose1d(x, w["conv_t_w"], rate)

@@ -66,8 +66,8 @@ def sample_cb0(logits: jax.Array, seen_mask: jax.Array,
       3. EOS ramp-boost after max(20, 4*n_text_tokens) frames
       4. greedy argmax, or temperature -> top-k (EOS survives) -> sample
 
-    logits: [B, V] f32; seen_mask: [B, V] bool; frame_idx: scalar;
-    expected_frames: [B]; returns [B] int32.
+    logits: [B, V] f32; seen_mask: [B, V] bool; frame_idx: [B] int32
+    (per-stream frame counters); expected_frames: [B]; returns [B] int32.
     """
     vocab = logits.shape[-1]
     ids = jnp.arange(vocab)

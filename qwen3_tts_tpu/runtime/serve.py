@@ -64,7 +64,11 @@ class ContinuousBatcher:
         self.engine = engine
         self.params = params or TTSParams()
         self.n_slots = n_slots
-        self.max_frames = max_frames
+        # the per-request token cap (params.max_audio_tokens, the
+        # reference's --max-tokens) binds here too — previously only the
+        # batcher-level max_frames did, so --serve --continuous silently
+        # ignored --max-tokens
+        self.max_frames = min(max_frames, self.params.max_audio_tokens)
         self.trailing_buf = trailing_buf
         cfg = engine.talker_cfg
         self.cfg = cfg

@@ -58,7 +58,7 @@ def test_serve_protocol(engine, tmp_path):
     stdout = io.StringIO()
     params = TTSParams(max_audio_tokens=12, temperature=0.0,
                        print_timing=False, seed=0)
-    rc = cli.run_server(engine, None, None, params, batch=1,
+    rc = cli.run_server(engine, None, params, batch=1,
                         stdin=stdin, stdout=stdout)
     assert rc == 0
     lines = stdout.getvalue().strip().split("\n")
@@ -83,7 +83,7 @@ def test_serve_batched(engine, tmp_path):
     stdout = io.StringIO()
     params = TTSParams(max_audio_tokens=12, temperature=0.0,
                        print_timing=False, seed=0)
-    rc = cli.run_server(engine, None, None, params, batch=2,
+    rc = cli.run_server(engine, None, params, batch=2,
                         stdin=stdin, stdout=stdout)
     assert rc == 0
     lines = stdout.getvalue().strip().split("\n")
@@ -98,8 +98,19 @@ def test_serve_default_output_and_blank_lines(engine, tmp_path):
     stdout = io.StringIO()
     params = TTSParams(max_audio_tokens=8, temperature=0.0,
                        print_timing=False, seed=0)
-    cli.run_server(engine, None, None, params, stdin=stdin, stdout=stdout)
+    cli.run_server(engine, None, params, stdin=stdin, stdout=stdout)
     line = stdout.getvalue().strip()
     assert line.startswith("OK\t")
     assert line.endswith("output.wav")
     assert os.path.exists(tmp_path / "output.wav")
+
+
+def test_resolve_embedding_rejects_wrong_size(engine, tmp_path):
+    """A stale/truncated .embd whose length doesn't match the model's
+    hidden size must be rejected at load time (re-encoded if --reference
+    is available), not fed into the jitted prefill to die on a cryptic
+    broadcast error."""
+    p = str(tmp_path / "stale.embd")
+    audio_io.save_embedding(p, np.zeros(7, np.float32))
+    emb = cli.resolve_embedding(engine, p, None)
+    assert emb is None

@@ -309,3 +309,16 @@ def test_warmup_long_token_bucket(engine):
     assert cb.trailing_buf >= 32  # grew (capped at max_frames)
     r = cb.submit("hello.")
     assert cb.run_all()[r].success
+
+
+def test_continuous_honors_max_audio_tokens(engine):
+    """params.max_audio_tokens (the CLI's --max-tokens) caps continuous-
+    mode requests too — it used to be silently ignored there (only the
+    batcher-level max_frames bound generation)."""
+    p = TTSParams(max_audio_tokens=6, temperature=0.0,
+                  print_timing=False, seed=0)
+    cb = ContinuousBatcher(engine, n_slots=2, params=p, max_frames=100)
+    assert cb.max_frames == 6
+    rid = cb.submit("hello world.")
+    res = cb.run_all()[rid]
+    assert res.success and res.n_frames <= 6
