@@ -409,10 +409,11 @@ def _encode_value(v: Any, vtype: int) -> bytes:
         if len(v) == 0:
             return struct.pack("<IQ", T_U32, 0)
         etype = _infer_vtype(v[0])
-        out = struct.pack("<IQ", etype, len(v))
-        for e in v:
-            out += _encode_value(e, etype)
-        return out
+        # join a chunk list: `out +=` in this loop was quadratic — a real
+        # vocab-sized string array (151k entries) took ~30 s to encode
+        chunks = [struct.pack("<IQ", etype, len(v))]
+        chunks += [_encode_value(e, etype) for e in v]
+        return b"".join(chunks)
     return struct.pack(_SCALAR_FMT[vtype], int(v) if vtype == T_BOOL else v)
 
 
@@ -441,7 +442,15 @@ class GGUFWriter:
         if ggml_type is None:
             if data.dtype == np.float16:
                 ggml_type = GGML_F16
-            elif data.dtype in (np.int32,):
+            elif np.issubdtype(data.dtype, np.integer):
+                # all integer inputs (incl. numpy's default int64) write
+                # as I32 — silently casting them to F32 corrupted values
+                # above 2^24
+                if (data.size and (data.min() < np.iinfo(np.int32).min
+                                   or data.max() > np.iinfo(np.int32).max)):
+                    raise ValueError(
+                        f"integer tensor {name} exceeds int32 range; "
+                        f"pass an explicit ggml_type")
                 ggml_type = GGML_I32
             else:
                 ggml_type = GGML_F32
@@ -466,22 +475,24 @@ class GGUFWriter:
         align = DEFAULT_ALIGNMENT
         header = struct.pack("<IIQQ", GGUF_MAGIC, GGUF_VERSION,
                              len(self._tensors), len(self._kv))
-        body = b""
+        body_parts = []
         for key, vtype, value in self._kv:
-            body += _encode_str(key) + struct.pack("<I", vtype) + _encode_value(value, vtype)
+            body_parts += [_encode_str(key), struct.pack("<I", vtype),
+                           _encode_value(value, vtype)]
+        body = b"".join(body_parts)
 
         offset = 0
-        infos = b""
+        info_parts: list[bytes] = []
         payloads: list[tuple[int, bytes]] = []
         for name, shape, ggml_type, payload in self._tensors:
             ne = list(reversed(shape)) if shape else [1]
-            infos += _encode_str(name)
-            infos += struct.pack("<I", len(ne))
-            for d in ne:
-                infos += struct.pack("<Q", d)
-            infos += struct.pack("<IQ", ggml_type, offset)
+            info_parts.append(_encode_str(name))
+            info_parts.append(struct.pack("<I", len(ne)))
+            info_parts += [struct.pack("<Q", d) for d in ne]
+            info_parts.append(struct.pack("<IQ", ggml_type, offset))
             payloads.append((offset, payload))
             offset += (len(payload) + align - 1) // align * align
+        infos = b"".join(info_parts)
 
         head = header + body + infos
         data_start = (len(head) + align - 1) // align * align

@@ -126,7 +126,10 @@ def build_prefill_inputs(w, cfg: TalkerConfig, tokens: jax.Array,
     if trail_proj.shape[1] < t_trail:
         trail_proj = jnp.pad(trail_proj,
                              ((0, 0), (0, t_trail - trail_proj.shape[1]), (0, 0)))
-    eos_pos = (token_len - 9)[:, None]                            # [B,1]
+    # max(0, n-9): with the 8-token empty-text template the eos row is
+    # row 0, not -1/absent (trailing_token_count = max(0, n_tokens-9),
+    # tts_transformer.cpp:1214-1228)
+    eos_pos = jnp.maximum(token_len - 9, 0)[:, None]              # [B,1]
     idx = jnp.arange(t_trail)[None, :]
     trailing = jnp.where((idx == eos_pos)[..., None],
                          tts_eos[None, None, :], trail_proj)

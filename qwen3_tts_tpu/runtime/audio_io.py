@@ -75,6 +75,8 @@ def resample_linear(x: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
     """Linear-interpolation resampler (resample_linear, qwen3_tts.cpp:83-101)."""
     if in_rate == out_rate:
         return np.asarray(x, np.float32)
+    if len(x) == 0:  # reference returns empty for empty (qwen3_tts.cpp:85)
+        return np.zeros(0, np.float32)
     ratio = in_rate / out_rate
     out_len = int(len(x) / ratio)
     src = np.arange(out_len) * ratio

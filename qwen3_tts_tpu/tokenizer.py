@@ -167,11 +167,19 @@ class TextTokenizer:
                    sp.bos_token_id, sp.assistant_token_id, sp.newline_token_id])
 
     def decode(self, tokens: Iterable[int]) -> str:
-        return "".join(self.decode_token(t) for t in tokens)
+        """Concatenate every token's RAW bytes, then interpret the whole
+        stream as UTF-8 once — the reference accumulates a std::string of
+        bytes the same way (text_tokenizer.cpp:332-338). Per-token
+        decoding would corrupt multi-byte characters whose bytes are
+        split across BPE tokens."""
+        out = bytearray()
+        for t in tokens:
+            out.extend(self._token_bytes(t))
+        return out.decode("utf-8", errors="replace")
 
-    def decode_token(self, token_id: int) -> str:
+    def _token_bytes(self, token_id: int) -> bytes:
         if token_id < 0 or token_id >= len(self.id_to_token):
-            return ""
+            return b""
         u2b = _unicode_to_byte()
         out = bytearray()
         for ch in self.id_to_token[token_id]:
@@ -180,4 +188,9 @@ class TextTokenizer:
                 out.append(b)
             else:
                 out.extend(ch.encode("utf-8"))
-        return out.decode("utf-8", errors="replace")
+        return bytes(out)
+
+    def decode_token(self, token_id: int) -> str:
+        """Single-token text (may contain U+FFFD when the token holds a
+        partial multi-byte character — use decode() for sequences)."""
+        return self._token_bytes(token_id).decode("utf-8", errors="replace")

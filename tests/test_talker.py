@@ -161,3 +161,24 @@ def test_forward_text_api(setup):
     # without speaker embedding
     h3, _, _ = talker.forward_text(w, cfg, tokens, None, cache)
     assert not np.allclose(np.asarray(h3), np.asarray(h))
+
+
+def test_empty_text_trailing_row_is_eos():
+    """The 8-token empty-text template must still schedule tts_eos as
+    trailing row 0 (trailing_token_count = max(0, n-9),
+    tts_transformer.cpp:1214-1228) — eos_pos = n-9 = -1 never matched."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.talker import (build_prefill_inputs,
+                                             project_text_tokens)
+    cfg = tiny_talker_config()
+    w = init_talker_weights(np.random.default_rng(61), cfg)
+    B, T = 1, 16
+    tokens = jnp.zeros((B, T), jnp.int32)
+    pf = build_prefill_inputs(w, cfg, tokens, jnp.full((B,), 8, jnp.int32),
+                              jnp.zeros((B, cfg.hidden_size), jnp.float32))
+    eos_row = np.asarray(project_text_tokens(
+        w, jnp.asarray([cfg.tts_eos_token_id], jnp.int32))[0])
+    assert int(pf.trailing_len[0]) == 1
+    np.testing.assert_allclose(np.asarray(pf.trailing_hidden[0, 0]),
+                               eos_row, rtol=1e-5, atol=1e-5)

@@ -102,3 +102,19 @@ def test_golden_tokens_real_model():
     assert tok.encode_for_tts("Hello.") == [
         151644, 77091, 198, 9707, 13, 151645, 198, 151644, 77091, 198]
     assert tok.decode(tok.encode("Hello, world!")) == "Hello, world!"
+
+
+def test_decode_multibyte_across_tokens():
+    """decode() must concatenate raw bytes across tokens BEFORE UTF-8
+    interpretation (text_tokenizer.cpp:332-338): a multi-byte character
+    split over byte-fallback tokens decoded per-token yields U+FFFD."""
+    from qwen3_tts_tpu.tokenizer import _byte_to_unicode
+    b2u = _byte_to_unicode()
+    tokens = [b2u[i] for i in range(256)]  # one token per raw byte
+    sp = TokenizerSpecialTokens(bos_token_id=0, eos_token_id=1,
+                                pad_token_id=1)
+    tok = TextTokenizer(tokens, [], sp)
+    text = "héllo 你好"   # é (2 bytes), 你好 (3 bytes each)
+    ids = tok.encode(text)
+    assert len(ids) > len(text)        # chars really split across tokens
+    assert tok.decode(ids) == text
