@@ -23,8 +23,11 @@ MATMUL_DTYPE = jnp.bfloat16
 NORM_DTYPE = jnp.float32
 
 
-def _linear(r, name: str, dtype=MATMUL_DTYPE) -> jnp.ndarray:
-    """Load a [out,in] GGUF linear weight as [in,out]."""
+def _linear(r, name: str, dtype=None) -> jnp.ndarray:
+    """Load a [out,in] GGUF linear weight as [in,out]. dtype defaults to
+    the CURRENT module-level MATMUL_DTYPE (late-bound so numerics tools
+    like tools/parity.py can load an f32 stack for f32-vs-f32 compares)."""
+    dtype = MATMUL_DTYPE if dtype is None else dtype
     return jnp.asarray(np.ascontiguousarray(r.tensor_data(name).T), dtype=dtype)
 
 
@@ -32,8 +35,9 @@ def _vec(r, name: str, dtype=NORM_DTYPE) -> jnp.ndarray:
     return jnp.asarray(r.tensor_data(name), dtype=dtype)
 
 
-def _embd(r, name: str, dtype=MATMUL_DTYPE) -> jnp.ndarray:
+def _embd(r, name: str, dtype=None) -> jnp.ndarray:
     """Embedding table stays [vocab, dim] (row gather)."""
+    dtype = MATMUL_DTYPE if dtype is None else dtype
     return jnp.asarray(r.tensor_data(name), dtype=dtype)
 
 
@@ -219,8 +223,14 @@ def init_talker_weights_fast(seed: int, cfg: TalkerConfig,
             "embd": rnd((n_rest, cfg.code_pred_vocab_size, cfg.hidden_size)),
             "heads": rnd((n_rest, cfg.code_pred_hidden_size,
                           cfg.code_pred_vocab_size)),
-            "mtp_w": None,
-            "mtp_b": None,
+            "mtp_w": (None
+                      if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else rnd((cfg.hidden_size,
+                                cfg.code_pred_hidden_size))),
+            "mtp_b": (None
+                      if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else jnp.zeros((cfg.code_pred_hidden_size,),
+                                     NORM_DTYPE)),
         },
     }
     return jax.device_put(w)
@@ -284,8 +294,14 @@ def _init_talker_weights_device_impl(key, *, cfg: TalkerConfig,
             "embd": rnd((n_rest, cfg.code_pred_vocab_size, cfg.hidden_size)),
             "heads": rnd((n_rest, cfg.code_pred_hidden_size,
                           cfg.code_pred_vocab_size)),
-            "mtp_w": None,
-            "mtp_b": None,
+            "mtp_w": (None
+                      if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else rnd((cfg.hidden_size,
+                                cfg.code_pred_hidden_size))),
+            "mtp_b": (None
+                      if cfg.code_pred_hidden_size == cfg.hidden_size
+                      else jnp.zeros((cfg.code_pred_hidden_size,),
+                                     NORM_DTYPE)),
         },
     }
 

@@ -2,9 +2,10 @@
 //
 // C++ counterpart of the runtime's weight-loading hot path: the reference
 // streams tensors with fseek/fread + ggml dequant traits
-// (src/gguf_loader.cpp:153-226, src/tts_transformer.cpp:733-792); here we
-// mmap the file and dequantize quantized blocks (Q8_0 / Q4_0 / Q4_K) or
-// widen F16/BF16 to f32/bf16 with a thread pool, writing straight into a
+// (src/gguf_loader.cpp:153-226, src/tts_transformer.cpp:733-792); here
+// Python mmaps the file (io/gguf.py raw_tensor) and this library
+// dequantizes quantized blocks (Q8_0 / Q4_0 / Q4_K) or widens F16/BF16
+// to f32/bf16 with a thread pool, writing straight into a
 // caller-provided buffer (a numpy array that JAX then device_puts).
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
@@ -17,11 +18,6 @@
 #include <algorithm>
 #include <thread>
 #include <vector>
-
-#include <fcntl.h>
-#include <sys/mman.h>
-#include <sys/stat.h>
-#include <unistd.h>
 
 namespace {
 
@@ -63,6 +59,12 @@ inline float f16_to_f32(uint16_t h) {
 inline uint16_t f32_to_bf16(float f) {
     uint32_t bits;
     std::memcpy(&bits, &f, 4);
+    if ((bits & 0x7F800000u) == 0x7F800000u && (bits & 0x007FFFFFu)) {
+        // NaN: keep it a NaN (quiet). Rounding a small-payload NaN would
+        // carry into the exponent and emit +/-Inf, masking checkpoint
+        // corruption the numpy fallback path surfaces.
+        return (uint16_t)((bits >> 16) | 0x0040u);
+    }
     // round-to-nearest-even
     uint32_t rounding = 0x7FFFu + ((bits >> 16) & 1u);
     return (uint16_t)((bits + rounding) >> 16);
@@ -226,23 +228,6 @@ int q3t_dequant_bf16(const uint8_t* src, int64_t src_bytes, int32_t gtype,
     return 0;
 }
 
-// mmap helpers so Python can hand zero-copy views to q3t_dequant_*.
-void* q3t_mmap_open(const char* path, int64_t* size_out) {
-    int fd = ::open(path, O_RDONLY);
-    if (fd < 0) return nullptr;
-    struct stat st;
-    if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
-    void* p = ::mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE,
-                     fd, 0);
-    ::close(fd);
-    if (p == MAP_FAILED) return nullptr;
-    if (size_out) *size_out = (int64_t)st.st_size;
-    return p;
-}
-
-int q3t_mmap_close(void* addr, int64_t size) {
-    return ::munmap(addr, (size_t)size);
-}
 
 // Linear resampler (float mono), mirroring qwen3_tts.cpp:83-101 semantics.
 int64_t q3t_resample_linear(const float* input, int64_t input_len,

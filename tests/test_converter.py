@@ -23,8 +23,8 @@ from qwen3_tts_tpu.tokenizer import TextTokenizer
 safetensors = pytest.importorskip("safetensors.numpy")
 
 
-def make_tts_checkpoint(d: Path, rng):
-    H, E, L, NH, NKV, HD, I = 16, 24, 2, 2, 1, 8, 32
+def make_tts_checkpoint(d: Path, rng, intermediate: int = 32):
+    H, E, L, NH, NKV, HD, I = 16, 24, 2, 2, 1, 8, intermediate
     CP_L, CPV, CV, VT = 2, 64, 128, 96
     cfg = {
         "talker_config": {
@@ -273,7 +273,10 @@ def test_tts_q4_output(tmp_path, rng):
     from qwen3_tts_tpu.io.gguf import GGML_F16, GGML_F32, GGML_Q4_0, GGML_Q4_K
     ckpt = tmp_path / "hf"
     ckpt.mkdir()
-    arrays = make_tts_checkpoint(ckpt, rng)
+    # I=256 so down_proj rows are 256-divisible: quantization gates on
+    # the LAST dim (GGML blocks must not span rows — gguf-py raises for
+    # non-divisible rows and the reference falls back to F16)
+    arrays = make_tts_checkpoint(ckpt, rng, intermediate=256)
     for out_type, qt in (("q4_0", GGML_Q4_0), ("q4_k", GGML_Q4_K)):
         out = tmp_path / f"tts_{out_type}.gguf"
         cc.convert_tts(ckpt, out, out_type)

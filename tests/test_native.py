@@ -67,3 +67,24 @@ def test_resample_parity(rng):
     assert got is not None
     np.testing.assert_allclose(got[:len(want)], want, atol=1e-6)
     assert abs(len(got) - len(want)) <= 1
+
+
+def test_dequant_to_bf16_output(rng):
+    """q3t_dequant_bf16: f32 values round-to-nearest-even into bf16 bit
+    patterns, and NaN stays NaN (the unguarded rounding used to carry a
+    small-payload NaN's mantissa into the exponent, emitting +/-Inf)."""
+    x = rng.standard_normal(256).astype(np.float32)
+    x[3] = np.nan
+    x[7] = np.inf
+    raw = np.frombuffer(x.astype(np.float16).tobytes(), np.uint8)
+    got = native.dequantize_bf16(raw, gguf.GGML_F16, 256)
+    if got is None:
+        pytest.skip("native library unavailable")
+    back = got.astype(np.uint32) << 16
+    vals = back.view(np.float32) if back.dtype == np.float32 else \
+        np.frombuffer(back.astype(np.uint32).tobytes(), np.float32)
+    assert np.isnan(vals[3])
+    assert np.isinf(vals[7]) and vals[7] > 0
+    ref = x.astype(np.float16).astype(np.float32)
+    ok = np.isfinite(ref)
+    assert np.abs(vals[ok] - ref[ok]).max() <= np.abs(ref[ok]).max() / 128

@@ -57,8 +57,7 @@ def _iter_safetensors(input_dir: Path):
 
 def _to_numpy(t) -> np.ndarray:
     a = np.asarray(t)
-    if a.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-        a = a.astype(np.float32)
+    # bf16 (ml_dtypes) and anything else exotic widens to f32 here
     if a.dtype not in (np.float32, np.float16, np.int32, np.int64):
         a = a.astype(np.float32)
     return a
@@ -76,7 +75,11 @@ def _pick_type(name: str, data: np.ndarray, out_type: str,
     quant = {"q8_0": (GGML_Q8_0, 32), "q4_0": (GGML_Q4_0, 32),
              "q4_k": (GGML_Q4_K, 256)}.get(out_type)
     if quant is not None and not keep_hi_fidelity(name) \
-            and data.size % quant[1] == 0:
+            and data.shape[-1] % quant[1] == 0:
+        # GGML quant blocks must not straddle rows: divisibility is on
+        # the innermost dim (ne[0]), not the flattened size — a [.., 7]
+        # conv weight with size%32==0 would otherwise emit blocks the
+        # C++/GGML side cannot load
         return quant[0]
     return GGML_F16
 
@@ -216,6 +219,28 @@ def convert_tts(input_dir: Path, output: Path, out_type: str) -> None:
     w.add("qwen3-tts.codec.bos_id", int(talker.get("codec_bos_id", 2149)))
     w.add("qwen3-tts.codec.eos_id",
           int(talker.get("codec_eos_token_id", 2150)))
+    # think/language/tts special ids (config.py:106-126 reads these; the
+    # reference converter never writes them and both stacks then fall
+    # back to the same hardcoded defaults — emitting them makes variant
+    # checkpoints with different ids load correctly instead of silently
+    # using the wrong prompt recipe)
+    w.add("qwen3-tts.codec.think_id",
+          int(talker.get("codec_think_id", 2154)))
+    w.add("qwen3-tts.codec.nothink_id",
+          int(talker.get("codec_nothink_id", 2155)))
+    w.add("qwen3-tts.codec.think_bos_id",
+          int(talker.get("codec_think_bos_id", 2156)))
+    w.add("qwen3-tts.codec.think_eos_id",
+          int(talker.get("codec_think_eos_id", 2157)))
+    w.add("qwen3-tts.language.english_id",
+          int(talker.get("english_language_id",
+                         talker.get("language_id", 2050))))
+    w.add("qwen3-tts.tts_bos_token_id",
+          int(talker.get("tts_bos_token_id", 151672)))
+    w.add("qwen3-tts.tts_eos_token_id",
+          int(talker.get("tts_eos_token_id", 151673)))
+    w.add("qwen3-tts.tts_pad_token_id",
+          int(talker.get("tts_pad_token_id", 151671)))
 
     _add_text_tokenizer(w, input_dir,
                         int(talker.get("text_vocab_size", 151936)))
@@ -258,8 +283,14 @@ def _add_text_tokenizer(w: GGUFWriter, input_dir: Path,
     merges = []
     if merges_path.exists():
         for line in merges_path.read_text(encoding="utf-8").splitlines():
-            line = line.strip()
-            if line and not line.startswith("#"):
+            line = line.rstrip("\n")
+            # Skip only the '#version:' header. The reference converter
+            # drops EVERY '#'-initial line (convert_tts_to_gguf.py:374),
+            # deleting real byte-level merge rules like '# #' and making
+            # hash-containing text tokenize differently from HF; keeping
+            # them is a strict interop improvement (its C++ loader is
+            # happy with the complete table).
+            if line and not line.startswith("#version"):
                 merges.append(line)
     w.add("tokenizer.ggml.model", "gpt2")
     w.add("tokenizer.ggml.pre", "qwen2")

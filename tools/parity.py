@@ -78,6 +78,12 @@ class TorchTalker:
         self.theta = tk.get("rope_theta", 1e6)
         cp = tk.get("code_predictor_config", {})
         self.cp_L = cp.get("num_hidden_layers", 5)
+        # the code predictor's head geometry is its own (the converter
+        # and TalkerConfig plumb separate code_pred head counts); using
+        # the talker's here reported false parity failures for variants
+        self.cp_NH = cp.get("num_attention_heads", self.NH)
+        self.cp_NKV = cp.get("num_key_value_heads", self.NKV)
+        self.cp_HD = cp.get("head_dim", self.HD)
         self.n_groups = tk.get("num_code_groups", 16)
 
     # -- primitives --------------------------------------------------------
@@ -209,7 +215,8 @@ class TorchTalker:
             positions = torch.arange(T)[None]
             for i in range(self.cp_L):
                 x = self._layer(f"talker.code_predictor.model.layers.{i}",
-                                x, positions, self.NH, self.NKV, self.HD)
+                                x, positions, self.cp_NH, self.cp_NKV,
+                                self.cp_HD)
             h = self.rms(x[0, -1],
                          self.t["talker.code_predictor.model.norm.weight"])
             head = self.t[f"talker.code_predictor.lm_head.{s}.weight"]
@@ -235,10 +242,13 @@ class TorchVocoder:
                   for k, v in hf.items()}
         dec = cfg.get("decoder_config", {})
         self.L = dec.get("num_hidden_layers", 8)
-        self.NH = dec.get("num_attention_heads", 8)
+        # defaults must MATCH the stack under test (config.py:142-165 /
+        # convert_checkpoints.py), else the comparison runs a different
+        # model: heads default 16, rms eps 1e-5
+        self.NH = dec.get("num_attention_heads", 16)
         self.n_q = dec.get("num_quantizers", 16)
         self.rates = dec.get("upsample_rates", [8, 5, 4, 3])
-        self.eps = 1e-6
+        self.eps = 1e-5
         self.theta = 1e4
 
     def rms(self, x, w):
@@ -402,11 +412,19 @@ def _stats(name, a, b, tol, failures):
         failures.append(name)
         return
     mad = np.abs(a - b).max() if a.size else 0.0
+    amax = np.abs(a).max() if a.size else 0.0
+    rel = mad / max(amax, 1e-12)
     denom = (np.linalg.norm(a) * np.linalg.norm(b)) or 1.0
     cos = float(np.dot(a, b) / denom)
-    ok = mad <= tol or cos >= 1.0 - tol
-    log(f"  {name:<24} max|diff|={mad:.3e}  cos={cos:.6f}  "
-        f"{'OK' if ok else 'FAIL'}")
+    # gate on max|diff| RELATIVE to the reference tensor's magnitude
+    # (the JAX stack computes matmuls in bf16; the torch reference runs
+    # f32, so the honest bound is relative). Cosine is a diagnostic
+    # only — near-unit cosine over a large flattened tensor can mask a
+    # single wrong row big enough to flip the downstream argmax, which
+    # a relative max-diff cannot.
+    ok = rel <= tol or mad <= tol
+    log(f"  {name:<24} max|diff|={mad:.3e}  rel={rel:.3e}  "
+        f"cos={cos:.6f}  {'OK' if ok else 'FAIL'}")
     if not ok:
         failures.append(name)
 
@@ -416,7 +434,12 @@ def main():
     ap.add_argument("--tts", type=Path, help="HF TTS checkpoint dir")
     ap.add_argument("--codec", type=Path, help="HF codec checkpoint dir")
     ap.add_argument("--out", type=Path, help="save stage dumps to .npz")
-    ap.add_argument("--tol", type=float, default=5e-3)
+    # Weights/matmuls run f32 on both sides (the JAX stack is loaded
+    # with MATMUL_DTYPE=f32 below); the residual difference is the bf16
+    # KV-cache rounding, a production semantic that mirrors the
+    # reference's F16 cache (tts_transformer.cpp:794-842) — measured
+    # 1.5e-3..6.4e-3 relative across synthetic-fixture seeds.
+    ap.add_argument("--tol", type=float, default=1e-2)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if not args.tts and not args.codec:
@@ -433,7 +456,14 @@ def main():
     from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
     from qwen3_tts_tpu.io.gguf import GGUFReader
     from qwen3_tts_tpu.models import code_predictor, talker, vocoder
+    from qwen3_tts_tpu.models import weights as weights_mod
     from qwen3_tts_tpu.models.weights import load_talker_weights
+
+    # f32-vs-f32 comparison: production loads weights in bf16 (MXU
+    # dtype), which injects ~1e-2 relative noise vs the torch f32
+    # reference after 28 layers and forces a loose gate. Loading the
+    # stack under test in f32 isolates the MATH from the storage dtype.
+    weights_mod.MATMUL_DTYPE = jnp.float32
 
     rng = np.random.default_rng(args.seed)
     failures: list[str] = []
