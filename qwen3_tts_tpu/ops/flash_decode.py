@@ -121,6 +121,10 @@ def _kernel(seg_ref, entry_b_ref, entry_blk_ref, qd_ref, mask_ref,
 
             m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
             p = jnp.exp(s - m_new)                      # [bs, n_heads]
+            # explicit zero for masked slots: NEG_INF is finfo.min, not
+            # -inf, so an ALL-masked stream otherwise gets p = exp(0) = 1
+            # everywhere and outputs the mean of garbage V rows
+            p = jnp.where(mrow[:, None] == 0, 0.0, p)
             alpha = jnp.exp(m - m_new)                  # [1, n_heads]
             l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
             vmat = vbuf[slot].astype(jnp.float32)       # [bs, kvD]
@@ -291,6 +295,8 @@ def flash_decode_masked(q: jax.Array, k: jax.Array, v: jax.Array,
     block_s = _pick_block(S, block_s)
     ctx = min(read_ctx or S, S)
     n_blocks = -(-ctx // block_s)
+    if (window_lo is None) != (window_hi is None):
+        raise ValueError("window_lo and window_hi must be given together")
     if window_lo is not None:
         lo = jnp.broadcast_to(window_lo.astype(jnp.int32), (B,))
         hi = jnp.broadcast_to(jnp.asarray(window_hi, jnp.int32), (B,))

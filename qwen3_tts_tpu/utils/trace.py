@@ -46,7 +46,7 @@ class StageTimer:
         for name, ms in self.stages.items():
             print(f"  {name + ':':<17}{ms:8.0f} ms", file=file)
         print(f"  {'Total:':<17}{total:8.0f} ms", file=file)
-        if audio_seconds > 0:
+        if audio_seconds > 0 and total > 0:
             wall = total / 1e3
             print(f"  Audio duration:  {audio_seconds:.2f} s", file=file)
             print(f"  Throughput:      {audio_seconds / wall:.2f}x realtime "
@@ -56,8 +56,10 @@ class StageTimer:
 
 def memory_snapshot() -> dict[str, int]:
     """Host RSS peak + device HBM in use."""
+    # ru_maxrss is KB on Linux but BYTES on macOS
+    _rss_scale = 1 if sys.platform == "darwin" else 1024
     out = {"rss_peak_bytes":
-           resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024,
+           resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * _rss_scale,
            "device_bytes_in_use": 0, "device_bytes_limit": 0}
     try:
         import jax

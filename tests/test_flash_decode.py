@@ -151,3 +151,28 @@ def test_dispatcher_switch():
                                atol=2e-5, rtol=2e-4)
     with pytest.raises(ValueError):
         attention.set_decode_attention_impl("bogus")
+
+
+def test_all_masked_stream_outputs_zero(rng):
+    """A stream with zero valid slots must output ~0, not the mean of
+    garbage V rows (NEG_INF is finfo.min, so exp(s - m) was 1 for every
+    masked slot before the explicit p-zeroing)."""
+    B, n_heads, n_kv, D, S = 2, 4, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((B, n_heads, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.bfloat16)
+    n_valid = jnp.asarray([0, 5], jnp.int32)   # stream 0 fully masked
+    out = flash_decode(q, k, v, n_valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
+    assert np.abs(np.asarray(out[1])).max() > 0
+
+
+def test_masked_window_requires_pair(rng):
+    B, n_heads, n_kv, D, S = 1, 4, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((B, n_heads, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, n_kv, D)), jnp.bfloat16)
+    mask = jnp.ones((B, S), bool)
+    with pytest.raises(ValueError, match="together"):
+        flash_decode_masked(q, k, v, mask,
+                            window_lo=jnp.zeros((B,), jnp.int32))

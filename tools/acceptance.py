@@ -92,26 +92,36 @@ def run_acceptance(hf_tts: Path, hf_codec: Path, work: Path, *,
     tts_gguf = mdir / "qwen3-tts-0.6b-f16.gguf"
     codec_gguf = mdir / "qwen3-tts-tokenizer-f16.gguf"
     cc.convert_tts(Path(hf_tts), tts_gguf, out_type)
-    cc.convert_codec(Path(hf_codec), codec_gguf, out_type)
+    # codec is always f16 — the production setup path pins it there
+    # (tools/setup_models.py; the reference ships a -f16 tokenizer GGUF),
+    # so acceptance must certify the artifact combination setup emits
+    cc.convert_codec(Path(hf_codec), codec_gguf, "f16")
     results.append(_check(
         "convert", tts_gguf.exists() and codec_gguf.exists(),
         f"{tts_gguf.name} ({tts_gguf.stat().st_size >> 20} MiB), "
         f"{codec_gguf.name} ({codec_gguf.stat().st_size >> 20} MiB)"))
 
     # -- 2. parity vs independent torch reference ------------------------
-    r = subprocess.run(
-        [sys.executable, str(ROOT / "tools" / "parity.py"),
-         "--tts", str(hf_tts), "--codec", str(hf_codec),
-         "--out", str(work / "parity.npz")],
-        capture_output=True, text=True, timeout=parity_timeout)
-    results.append(_check(
-        "parity", r.returncode == 0 and "PARITY OK" in r.stderr,
-        r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ""))
+    try:
+        r = subprocess.run(
+            [sys.executable, str(ROOT / "tools" / "parity.py"),
+             "--tts", str(hf_tts), "--codec", str(hf_codec),
+             "--out", str(work / "parity.npz")],
+            capture_output=True, text=True, timeout=parity_timeout)
+        results.append(_check(
+            "parity", r.returncode == 0 and "PARITY OK" in r.stderr,
+            r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ""))
+    except subprocess.TimeoutExpired:
+        # record the failure and keep going — the harness must emit its
+        # JSON report unattended even when one step wedges
+        results.append(_check(
+            "parity", False, f"timed out after {parity_timeout}s"))
 
     # -- 3. tokenizer golden vectors (from the converted GGUF) -----------
     from qwen3_tts_tpu.io.gguf import GGUFReader
     from qwen3_tts_tpu.tokenizer import TextTokenizer
-    tok = TextTokenizer.from_gguf(GGUFReader(str(tts_gguf)))
+    with GGUFReader(str(tts_gguf)) as _r:
+        tok = TextTokenizer.from_gguf(_r)
     golden_text = GOLDEN_TEXT if real else text
     ids = tok.encode(golden_text)
     tts_ids = tok.encode_for_tts(golden_text)
@@ -143,13 +153,16 @@ def run_acceptance(hf_tts: Path, hf_codec: Path, work: Path, *,
     params = TTSParams(max_audio_tokens=max_tokens, temperature=0.0,
                        seed=0, print_timing=False)
     res = tts.synthesize(text, params)
-    expect = voc_mod.vocoder_output_length(tts.voc_w, tts.voc_cfg,
-                                           res.n_frames, trim="causal")
-    results.append(_check(
-        "synthesize", res.success and res.n_frames >= 1
-        and len(res.audio) == expect,
-        f"{res.n_frames} frames, {len(res.audio)} samples "
-        f"(expect {expect}), {res.t_total_ms:.0f} ms"))
+    if tts.voc_w is not None:
+        expect = voc_mod.vocoder_output_length(tts.voc_w, tts.voc_cfg,
+                                               res.n_frames, trim="causal")
+        synth_ok = (res.success and res.n_frames >= 1
+                    and len(res.audio) == expect)
+        detail = (f"{res.n_frames} frames, {len(res.audio)} samples "
+                  f"(expect {expect}), {res.t_total_ms:.0f} ms")
+    else:  # load_models failed above; record rather than crash on None
+        synth_ok, detail = False, "vocoder not loaded"
+    results.append(_check("synthesize", synth_ok, detail))
 
     wav = work / "accept.wav"
     audio_io.save_wav(str(wav), res.audio, res.sample_rate)

@@ -106,7 +106,21 @@ def main() -> int:
         eprint(f"[convert] {args.base_dir} -> {out_tts} ({args.type})")
         cc.convert_tts(args.base_dir, out_tts, args.type)
     else:
-        eprint(f"[skip] {out_tts} exists")
+        # a stale artifact with a DIFFERENT quantization than requested
+        # must not silently pass as ready
+        from qwen3_tts_tpu.io.gguf import (GGML_F16, GGML_Q4_0, GGML_Q4_K,
+                                           GGML_Q8_0, GGUFReader)
+        want = {"f32": None, "f16": GGML_F16, "q8_0": GGML_Q8_0,
+                "q4_0": GGML_Q4_0, "q4_k": GGML_Q4_K}.get(args.type)
+        with GGUFReader(str(out_tts)) as r:
+            types = {t.ggml_type for t in r.tensors.values()}
+        if want is not None and want not in types:
+            eprint(f"WARNING: {out_tts} exists but contains no "
+                   f"{args.type}-quantized tensors — it was converted "
+                   f"with a different --type. Re-run with "
+                   f"--force-convert to apply --type {args.type}.")
+        else:
+            eprint(f"[skip] {out_tts} exists")
     if args.force_convert or not out_tok.exists():
         eprint(f"[convert] {args.tokenizer_dir} -> {out_tok} (f16)")
         cc.convert_codec(args.tokenizer_dir, out_tok, "f16")
