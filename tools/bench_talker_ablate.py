@@ -40,7 +40,17 @@ def main():
     ap.add_argument("--kv", choices=("bf16", "int8"), default="int8")
     ap.add_argument("--read-ctx", type=int, default=128)
     ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run (default "
+                         "all): mm,norms,rope,attn,full,full-lyr,batched,"
+                         "ds-read,candidate,listcache,read-only,"
+                         "write-only,snapshot")
     args = ap.parse_args()
+    only = (None if args.only is None
+            else {v.strip() for v in args.only.split(",")})
+
+    def want(name: str) -> bool:
+        return only is None or name in only
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -79,7 +89,21 @@ def main():
     }
     x0 = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
     quant = args.kv == "int8"
-    cache = stack.init_kv_cache(L, B, S, n_kv, D, quant=quant)
+    mk_cache = lambda: stack.init_kv_cache(L, B, S, n_kv, D, quant=quant)
+
+    def mk_list():
+        if quant:
+            vals = [jnp.zeros((2, B, n_kv, S, D), jnp.int8)
+                    for _ in range(L)]
+            scls = [jnp.full((2, B, n_kv, S), 1e-8 / 127., jnp.float32)
+                    for _ in range(L)]
+        else:
+            vals = [jnp.zeros((2, B, n_kv, S, D), jnp.bfloat16)
+                    for _ in range(L)]
+            scls = [None] * L
+        return tuple(vals), tuple(scls)
+
+    cache = mk_cache()
     n_valid = jnp.full((B,), RC - 8, jnp.int32)
     positions = n_valid[:, None]          # [B,1] for the ablation bodies
     write_idx = jnp.int32(RC - 8)
@@ -157,9 +181,12 @@ def main():
         log(f"{name:<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)")
         return ms
 
-    timeit("mm", scanned(mm_body))
-    timeit("+norms", scanned(lambda x, wl: norms_body(x, wl, False)))
-    timeit("+rope", scanned(lambda x, wl: norms_body(x, wl, True)))
+    if want("mm"):
+        timeit("mm", scanned(mm_body))
+    if want("norms"):
+        timeit("+norms", scanned(lambda x, wl: norms_body(x, wl, False)))
+    if want("rope"):
+        timeit("+rope", scanned(lambda x, wl: norms_body(x, wl, True)))
 
     if quant:
         kc, vc = cache.values[0, 0], cache.values[0, 1]
@@ -167,7 +194,9 @@ def main():
     else:
         kc, vc = cache[0, 0], cache[0, 1]
         ksc = vsc = None
-    timeit("+attn", scanned(lambda x, wl: attn_body(x, wl, kc, vc, ksc, vsc)))
+    if want("attn"):
+        timeit("+attn",
+               scanned(lambda x, wl: attn_body(x, wl, kc, vc, ksc, vsc)))
 
     # full production body: unrolled stack_step (stacked [L,...] weights,
     # x [B,H], positions [B]) with donated cache, 4 frames per dispatch
@@ -183,22 +212,21 @@ def main():
         (y, cache), _ = jax.lax.scan(f, (x, cache), None, length=4)
         return y, cache
 
-    out, cache2 = full(x0, layers_w, cache)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, cache2 = full(x0, layers_w, cache2)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'full':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer) "
-        f"[stack_step x4 in-scan, incl. cache write]")
+    if want("full"):
+        out, cache2 = full(x0, layers_w, mk_cache())
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, cache2 = full(x0, layers_w, cache2)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'full':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [stack_step x4 in-scan, incl. cache write]")
+        del cache2
 
     # ---- full production body, LAYERED cache layout ---------------------
     # (QWEN3_TTS_CACHE=layered): same stack_step, tuple of per-layer
     # buffers — the production A/B for the listcache hypothesis below.
-    lcache = stack.init_kv_cache(L, B, S, n_kv, D, quant=quant,
-                                 layered=True)
-
     @partial(jax.jit, donate_argnums=(2,))
     def full_layered(x, layers_w, lcache):
         def f(carry, _):
@@ -211,16 +239,19 @@ def main():
         (y, lcache), _ = jax.lax.scan(f, (x, lcache), None, length=4)
         return y, lcache
 
-    out, lcache = full_layered(x0, layers_w, lcache)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    if want("full-lyr"):
+        lcache = stack.init_kv_cache(L, B, S, n_kv, D, quant=quant,
+                                     layered=True)
         out, lcache = full_layered(x0, layers_w, lcache)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'full-lyr':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
-        f" [stack_step x4 in-scan, layered cache]")
-    del lcache
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, lcache = full_layered(x0, layers_w, lcache)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'full-lyr':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [stack_step x4 in-scan, layered cache]")
+        del lcache
 
     # ---- redesign candidate: deferred batched cache write --------------
     # Unrolled layer loop; each layer's k/v row for the CURRENT token is
@@ -288,16 +319,17 @@ def main():
         (y, cache), _ = jax.lax.scan(f, (x, cache), None, length=4)
         return y, cache
 
-    out, cache3 = full_batched(x0, layers_w, cache2)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, cache3 = full_batched(x0, layers_w, cache3)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'batched':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer) "
-        f"[deferred single-DUS write]")
-    cache = cache3
+    if want("batched"):
+        out, cache3 = full_batched(x0, layers_w, mk_cache())
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, cache3 = full_batched(x0, layers_w, cache3)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'batched':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [deferred single-DUS write]")
+        del cache3
 
     # ---- E1: scanned layers, per-layer cache read via dynamic_slice ----
     from qwen3_tts_tpu.ops.attention import decode_attention as datt
@@ -328,10 +360,9 @@ def main():
         x = x + jnp.dot(act, wl["w_down"], preferred_element_type=jnp.float32)
         return (x, l + 1), (k[:, 0], v[:, 0])
 
-    if quant:
-        values_in, scales_in = cache.values, cache.scales
-    else:
-        values_in, scales_in = cache, None
+    def cache_arrays():
+        c = mk_cache()
+        return (c.values, c.scales) if quant else (c, None)
 
     @jax.jit
     def run_ds(x, layers_w, values, scales):
@@ -340,8 +371,10 @@ def main():
         (y, _), _ = jax.lax.scan(f, (x, jnp.int32(0)), layers_w)
         return y
 
-    fn = lambda: run_ds(x0, layers_w, values_in, scales_in)
-    timeit("ds-read", fn)
+    if want("ds-read"):
+        values_in, scales_in = cache_arrays()
+        fn = lambda: run_ds(x0, layers_w, values_in, scales_in)
+        timeit("ds-read", fn)
 
     # ---- E3: the candidate: scan + ds-read + ys rows + ONE DUS + the
     # cache carried across 4 frames (donated) -----------------------------
@@ -369,17 +402,21 @@ def main():
             frame, (x, values, scales), None, length=4)
         return y, values, scales
 
-    out, values_in, scales_in = run_candidate(x0, layers_w, values_in,
-                                              scales_in)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    if want("candidate"):
+        values_in, scales_in = cache_arrays()
         out, values_in, scales_in = run_candidate(x0, layers_w, values_in,
                                                   scales_in)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'candidate':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
-        f" [scan + ds-read + ys rows + one DUS, 4-frame carry]")
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, values_in, scales_in = run_candidate(
+                x0, layers_w, values_in, scales_in)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'candidate':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [scan + ds-read + ys rows + one DUS, "
+            f"4-frame carry]")
+        del values_in, scales_in
 
     # ---- E4: per-layer cache buffers (list of [2,B,kv,S,D] arrays) -----
     # Mirrors production stack_step semantics exactly (write the row via
@@ -387,15 +424,6 @@ def main():
     # through decode_attention), but with no [L,...] super-buffer: the
     # hypothesis is that slicing layer l out of the stacked cache defeats
     # XLA's in-place/fusion analysis and materializes ~100 MB copies.
-    if quant:
-        list_vals = [jnp.zeros((2, B, n_kv, S, D), jnp.int8)
-                     for _ in range(L)]
-        list_scales = [jnp.full((2, B, n_kv, S), 1e-8 / 127., jnp.float32)
-                       for _ in range(L)]
-    else:
-        list_vals = [jnp.zeros((2, B, n_kv, S, D), jnp.bfloat16)
-                     for _ in range(L)]
-        list_scales = [None] * L
 
     def list_step(x, layers_w, vals, scls):
         vals, scls = list(vals), list(scls)
@@ -450,18 +478,20 @@ def main():
             frame, (x, tuple(vals), tuple(scls)), None, length=4)
         return y, vals, scls
 
-    out, list_vals, list_scales = run_list(x0, layers_w,
-                                           tuple(list_vals),
-                                           tuple(list_scales))
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    if want("listcache"):
+        list_vals, list_scales = mk_list()
         out, list_vals, list_scales = run_list(x0, layers_w, list_vals,
                                                list_scales)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'listcache':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} us/layer)"
-        f" [per-layer buffers, in-place DUS, prod semantics]")
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, list_vals, list_scales = run_list(x0, layers_w, list_vals,
+                                                   list_scales)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'listcache':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [per-layer buffers, in-place DUS, prod semantics]")
+        del list_vals, list_scales
 
     # ---- E5: read-only over 28 DISTINCT per-layer buffers --------------
     # (+attn reads layer 0's slice 28 times, which XLA may hoist/reuse;
@@ -499,8 +529,11 @@ def main():
         y, _ = jax.lax.scan(frame, x, None, length=4)
         return y
 
-    fn = lambda: run_ro(x0, layers_w, list_vals, list_scales)
-    timeit("read-only", fn)
+    if want("read-only"):
+        ro_vals, ro_scales = mk_list()
+        fn = lambda: run_ro(x0, layers_w, ro_vals, ro_scales)
+        timeit("read-only", fn)
+        del ro_vals, ro_scales
 
     # ---- E6: write-only (quantize + DUS per layer, no cache read) ------
     def wo_step(x, layers_w, vals, scls):
@@ -551,17 +584,19 @@ def main():
             frame, (x, tuple(vals), tuple(scls)), None, length=4)
         return y, vals, scls
 
-    out, list_vals, list_scales = run_wo(x0, layers_w, list_vals,
-                                         list_scales)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, list_vals, list_scales = run_wo(x0, layers_w, list_vals,
-                                             list_scales)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'write-only':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
-        f"us/layer) [quantize + per-layer DUS, no cache read]")
+    if want("write-only"):
+        wo_vals, wo_scales = mk_list()
+        out, wo_vals, wo_scales = run_wo(x0, layers_w, wo_vals, wo_scales)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, wo_vals, wo_scales = run_wo(x0, layers_w, wo_vals,
+                                             wo_scales)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'write-only':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [quantize + per-layer DUS, no cache read]")
+        del wo_vals, wo_scales
 
     # ---- E8: per-layer buffers, SNAPSHOT read + deferred write ----------
     # Attention reads the pre-write buffer (past entries only; the current
@@ -628,17 +663,19 @@ def main():
             frame, (x, tuple(vals), tuple(scls)), None, length=4)
         return y, vals, scls
 
-    out, list_vals, list_scales = run_snap(x0, layers_w, list_vals,
-                                           list_scales)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out, list_vals, list_scales = run_snap(x0, layers_w, list_vals,
-                                               list_scales)
-    sync(out)
-    ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
-    log(f"{'snapshot':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
-        f"us/layer) [per-layer, read-before-write + deferred DUS]")
+    if want("snapshot"):
+        sn_vals, sn_scales = mk_list()
+        out, sn_vals, sn_scales = run_snap(x0, layers_w, sn_vals,
+                                           sn_scales)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, sn_vals, sn_scales = run_snap(x0, layers_w, sn_vals,
+                                               sn_scales)
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.iters / 4 * 1e3
+        log(f"{'snapshot':<10} {ms:8.3f} ms/frame ({ms / L * 1e3:6.1f} "
+            f"us/layer) [per-layer, read-before-write + deferred DUS]")
 
 
 if __name__ == "__main__":

@@ -21,9 +21,11 @@ print('TPU OK', float((x@x).sum()))" || return 1
 
 probe || { echo "TPU tunnel down; aborting"; exit 1; }
 
-# 1. ablation: full (stacked) vs full-lyr (layered) at serving shape
+# 1. ablation: the decisive variants only (full stacked vs layered vs
+# the two per-layer hypotheses); add --only '' for the full 13-variant
+# attribution if time allows
 timeout 2400 python -u tools/bench_talker_ablate.py --batch 192 --iters 20 \
-    2>&1 | tee /tmp/r3_ablate.log
+    --only full,full-lyr,listcache,snapshot 2>&1 | tee /tmp/r3_ablate.log
 
 # 2. lock-step ladder: layered x int8 at B=192/256 (+ stacked control)
 timeout 2400 python -u bench.py --batch 192 --kv int8 --cache layered \
