@@ -79,7 +79,9 @@ def main() -> None:
     # machine-readable error instead of wedging the driver.
     import threading
     init_done = threading.Event()
-    watchdog_s = float(os.environ.get("QWEN3_TTS_BENCH_INIT_TIMEOUT", "300"))
+    # covers backend init AND the on-device weight init (the cold-cache
+    # weight-init compile alone is ~400 s through the tunnel)
+    watchdog_s = float(os.environ.get("QWEN3_TTS_BENCH_INIT_TIMEOUT", "900"))
 
     def _watchdog():
         if not init_done.wait(watchdog_s):
@@ -101,7 +103,6 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
     jax.devices()          # force PJRT init under the watchdog
-    init_done.set()
 
     def sync(x):
         # block_until_ready is unreliable on the experimental axon
@@ -138,6 +139,7 @@ def main() -> None:
     sync(jax.tree.leaves(w)[0][..., :1])
     log(f"0.6B talker+code-pred weights initialized on device "
         f"({time.monotonic()-t0:.1f}s)")
+    init_done.set()        # watchdog disarms after the first real device op
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32)
