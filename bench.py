@@ -52,7 +52,8 @@ def main() -> None:
                          "buffers, avoids XLA slice-copy of the stacked "
                          "[L,...] array; default = QWEN3_TTS_CACHE env "
                          "or stacked)")
-    ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--chunks", type=int, default=3,
+                    help="measured generation chunks per run (>=1)")
     ap.add_argument("--runs", type=int, default=3,
                     help="repeat the measured section; report the median "
                          "(tunnel variance is +-20%%)")
@@ -67,6 +68,8 @@ def main() -> None:
                          "the XLA chain at the bench shape (costs one "
                          "extra vocoder compile)")
     args = ap.parse_args()
+    if args.chunks < 1:
+        ap.error("--chunks must be >= 1")
 
     import os
     os.environ["QWEN3_TTS_KV"] = args.kv   # read dynamically downstream
@@ -228,7 +231,7 @@ def main() -> None:
     # compiles, NOTES.md); retry before ever falling back so the recorded
     # number is the production (fused) configuration. Whatever ran is
     # reported in the output JSON as voc_impl.
-    voc_impl = ("fused" if jax.default_backend() == "tpu" else "xla")
+    vocoder.reset_res_chain_traced()
     t0 = time.monotonic()
     audio = None
     for attempt in range(args.compile_retries):
@@ -246,22 +249,45 @@ def main() -> None:
             "falling back to XLA chain — recorded numbers are the "
             "DEGRADED path")
         vocoder.set_res_chain_impl("xla")
-        voc_impl = "xla"
         audio = voc_decode(vcodes)
         sync(audio)
+    # OBSERVED at trace time (vocoder._res_chain records which impl each
+    # chain actually used — the silent ValueError fallback made the old
+    # backend-inferred label exactly the masquerade this JSON field
+    # exists to prevent)
+    voc_impl = vocoder.res_chain_impl_traced()
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s "
         f"(impl={voc_impl})")
 
     if args.check_fused and voc_impl == "fused":
         # parity: compiled fused kernels vs the XLA chain at this shape
         # (ADVICE r2: the Mosaic path was parity-tested only interpreted)
+        # Each side gets a FRESH jit wrapper: the impl switch is read
+        # at trace time, so reusing the module-level jitted
+        # vocoder_decode would cache-hit on identical avals/statics and
+        # compare the fused executable TO ITSELF.
         sub = vcodes[:min(VOC_SUB, vcodes.shape[0])]
-        a_fused = np.asarray(vocoder.vocoder_decode(vw, vcfg, sub,
-                                                    trim="causal"))
-        vocoder.set_res_chain_impl("xla")
-        a_xla = np.asarray(vocoder.vocoder_decode(vw, vcfg, sub,
-                                                  trim="causal"))
-        vocoder.set_res_chain_impl("auto")
+        decode_raw = vocoder.vocoder_decode.__wrapped__
+
+        def fresh(impl):
+            vocoder.set_res_chain_impl(impl)
+            f = jax.jit(decode_raw,
+                        static_argnames=("cfg", "trim", "pcm16"))
+            for attempt in range(args.compile_retries):
+                try:
+                    return np.asarray(f(vw, vcfg, sub, trim="causal"))
+                except Exception as e:
+                    if attempt == args.compile_retries - 1:
+                        raise
+                    log(f"check-fused {impl} compile retry: "
+                        f"{type(e).__name__}: {str(e)[:120]}")
+                    time.sleep(2.0)
+
+        try:
+            a_fused = fresh("fused")
+            a_xla = fresh("xla")
+        finally:
+            vocoder.set_res_chain_impl("auto")
         diff = float(np.max(np.abs(a_fused - a_xla)))
         log(f"fused-vs-XLA parity at B={sub.shape[0]}: max|diff|={diff:.2e}")
         assert diff < 2e-2, f"fused vocoder diverges from XLA: {diff}"
@@ -299,7 +325,11 @@ def main() -> None:
             codes_h = np.asarray(codes_d)                # read chunk k
             audio = voc_decode(vcodes)                   # voc chunk k
             codes_d = codes_next
+        # decode the FINAL chunk too: chunks+1 gens must pair with
+        # chunks+1 decodes or the per-frame divide under-counts vocoder
+        # work by 1/(chunks+1) (~25% at --chunks 3)
         np.asarray(codes_d)
+        audio = voc_decode(vcodes)
         sync(audio)
         return time.monotonic() - t0, state
 

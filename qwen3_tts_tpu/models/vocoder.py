@@ -40,6 +40,26 @@ WDT = jnp.float32  # vocoder weight dtype (convs; small fraction of total cost)
 # ops/attention.py::set_decode_attention_impl). "auto" = the fused Pallas
 # kernel on TPU where the shapes allow it, XLA chain otherwise.
 _RES_IMPL = "auto"
+# which impls _res_chain traces actually used ("fused"/"xla") — recorded
+# at TRACE time so benchmarks can report what truly ran instead of
+# inferring from the backend (the ValueError fallback is silent)
+_RES_IMPLS_TRACED: set = set()
+
+
+def reset_res_chain_traced() -> None:
+    _RES_IMPLS_TRACED.clear()
+
+
+def res_chain_impl_traced() -> str:
+    """"fused" / "xla" / "mixed" across every chain traced since the
+    last reset; "untraced" if no trace happened (pure cache hits)."""
+    if not _RES_IMPLS_TRACED:
+        return "untraced"
+    if _RES_IMPLS_TRACED == {"fused"}:
+        return "fused"
+    if _RES_IMPLS_TRACED == {"xla"}:
+        return "xla"
+    return "mixed"
 _RES_VALID = ("auto", "fused", "fused_interpret", "xla")
 
 
@@ -396,12 +416,15 @@ def _res_chain(res_list, x: jax.Array) -> jax.Array:
             impl == "auto" and jax.default_backend() == "tpu"):
         from ..ops.vocoder_fused import fused_residual_chain
         try:
-            return fused_residual_chain(
+            out = fused_residual_chain(
                 x, res_list, interpret=impl == "fused_interpret")
+            _RES_IMPLS_TRACED.add("fused")
+            return out
         except ValueError:
             # shape not served (C>512 first decoder block, or no aligned
             # tile divides T) — fall back to the XLA chain
             pass
+    _RES_IMPLS_TRACED.add("xla")
     for res_w, dilation in zip(res_list, (1, 3, 9)):
         x = _residual_block(res_w, x, dilation)
     return x

@@ -73,7 +73,6 @@ def main():
     B = args.batch
     code_predictor.set_codepred_impl(args.impl)
     w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
-    cp = w["code_pred"]
 
     def sync(x):
         jax.device_get(jax.tree.leaves(x)[-1].ravel()[:1])
@@ -164,8 +163,19 @@ def main():
         slope (cancels the ~30 ms tunnel sync tax, NOTES.md round 3)."""
         tot = {}
         for F in (F_SHORT, F_LONG):
-            out = fn(*a, F)
-            sync(out)  # compile
+            # retry the first (compiling) call: the axon remote-compile
+            # helpers 500 on ~40% of Pallas compiles (NOTES.md)
+            for attempt in range(3):
+                try:
+                    out = fn(*a, F)
+                    sync(out)  # compile
+                    break
+                except Exception as e:
+                    if attempt == 2:
+                        raise
+                    log(f"compile retry ({type(e).__name__}: "
+                        f"{str(e)[:120]})")
+                    time.sleep(2.0)
             ts = []
             for _ in range(args.iters):
                 t0 = time.monotonic()

@@ -29,8 +29,13 @@ class RandomTokenizer:
         self.n_tokens = n_tokens
 
     def encode_for_tts(self, text: str):
+        import zlib
+
         import numpy as np
-        seed = abs(hash(text)) % (2 ** 31)
+        # crc32, NOT hash(): str hash is salted per process
+        # (PYTHONHASHSEED), which made the "deterministic" ids — and so
+        # the EOS timing and the aggregate metric — vary run to run
+        seed = zlib.crc32(text.encode()) % (2 ** 31)
         rng = np.random.default_rng(seed)
         return rng.integers(0, min(self.vocab_size, 1000),
                             self.n_tokens).tolist()
@@ -70,7 +75,9 @@ def main():
 
     t0 = time.monotonic()
     w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
-    jax.device_get(jax.tree.leaves(w)[-1])
+    # one-element fence (a full-leaf device_get drags tens of MB through
+    # the ~25 MB/s tunnel — see bench.py sync())
+    jax.device_get(jax.tree.leaves(w)[-1].ravel()[:1])
     log(f"weights init {time.monotonic()-t0:.1f}s")
 
     vcfg = VocoderConfig()
@@ -99,12 +106,27 @@ def main():
     lat = []
     total_audio = 0.0
     n_done = 0
+    n_failed = 0
     while cb.pending():
         for r in cb.step().values():
+            if not r.success:
+                # failure isolation returns error results instead of
+                # raising; counting them as served would silently
+                # deflate (or zero) the throughput metric
+                n_failed += 1
+                log(f"request FAILED: {r.error_msg}")
+                continue
             lat.append(r.t_total_ms)
             total_audio += len(r.audio) / r.sample_rate
             n_done += 1
     wall = time.monotonic() - t0
+    if n_failed:
+        import json
+        print(json.dumps({
+            "metric": f"aggregate_realtime_x_slots{args.slots}",
+            "value": 0, "unit": "x_realtime", "vs_baseline": 0,
+            "error": f"{n_failed}/{n_failed + n_done} requests failed"}))
+        sys.exit(2)
     lat = np.asarray(lat)
     log(f"served {n_done} requests in {wall:.1f}s wall")
     log(f"audio generated: {total_audio:.1f}s "
