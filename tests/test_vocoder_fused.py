@@ -130,3 +130,40 @@ class TestFusedSnakeConvT:
             fused_snake_convt(x, w["snake_a"], w["snake_b"],
                               w["conv_t_w"][:, :, :5], w["conv_t_b"], 3,
                               interpret=True)
+
+
+def test_res_chain_impl_traced_observation(rng):
+    """res_chain_impl_traced() reports what the trace actually used —
+    benchmarks label their JSON with it instead of inferring from the
+    backend (the silent shape-fallback made inference wrong)."""
+    from qwen3_tts_tpu.models import vocoder as vm
+
+    C, T, B = 32, 64, 2
+    res = []
+    for _ in range(3):
+        res.append({
+            "a1": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            "b1": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            "c1_w": jnp.asarray(rng.standard_normal((C, C, 7)) * 0.05,
+                                jnp.bfloat16),
+            "c1_b": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            "a2": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            "b2": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+            "c2_w": jnp.asarray(rng.standard_normal((C, C, 1)) * 0.05,
+                                jnp.bfloat16),
+            "c2_b": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32),
+        })
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+
+    vm.reset_res_chain_traced()
+    assert vm.res_chain_impl_traced() == "untraced"
+    vm._res_chain(res, x)            # auto on CPU -> XLA chain
+    assert vm.res_chain_impl_traced() == "xla"
+
+    vm.reset_res_chain_traced()
+    vm.set_res_chain_impl("fused_interpret")
+    try:
+        vm._res_chain(res, x)
+        assert vm.res_chain_impl_traced() == "fused"
+    finally:
+        vm.set_res_chain_impl("auto")
