@@ -166,3 +166,23 @@ def test_reader_rejects_bad_magic(tmp_path):
         f.write(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError, match="not a GGUF"):
         GGUFReader(path)
+
+
+def test_writer_integer_tensors_roundtrip_as_i32(tmp_path, rng):
+    """Integer inputs (incl. numpy's default int64) write as I32 — the
+    old dtype inference silently cast them to F32, corrupting values
+    above 2^24; out-of-range int64 raises instead."""
+    from qwen3_tts_tpu.io.gguf import GGUFReader, GGUFWriter
+    w = GGUFWriter("t")
+    ids = np.arange(100) + 2**25          # > f32's exact-int range
+    w.add_tensor("ids", ids)
+    path = tmp_path / "ints.gguf"
+    w.write(str(path))
+    with GGUFReader(str(path)) as r:
+        arr = r.tensor_data("ids")
+    assert arr.dtype == np.int32
+    np.testing.assert_array_equal(arr.reshape(-1), ids)
+
+    w2 = GGUFWriter("t")
+    with pytest.raises(ValueError, match="int32 range"):
+        w2.add_tensor("big", np.array([2**40]))

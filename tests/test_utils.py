@@ -45,3 +45,13 @@ def test_profile_trace_writes(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     # some trace artifact must exist
     assert any(tmp_path.rglob("*"))
+
+
+def test_resample_empty_input():
+    """Empty input resamples to empty (the reference returns an empty
+    vector, qwen3_tts.cpp:83-101; this used to IndexError on x[-1])."""
+    import numpy as np
+
+    from qwen3_tts_tpu.runtime import audio_io
+    out = audio_io.resample_linear(np.zeros(0, np.float32), 12500, 24000)
+    assert out.shape == (0,) and out.dtype == np.float32
