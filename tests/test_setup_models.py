@@ -62,3 +62,39 @@ def test_setup_models_missing_checkpoint(tmp_path, monkeypatch):
         "--tokenizer-dir", str(tmp_path / "nope2"),
     ])
     assert setup_models.main() == 1
+
+
+def test_setup_models_warns_on_type_mismatch(tmp_path, monkeypatch,
+                                             capsys):
+    """Re-running with a different --type must warn that the existing
+    GGUF carries a different quantization instead of silently reporting
+    the directory ready (it used to print only '[skip] ... exists')."""
+    import setup_models
+
+    rng = np.random.default_rng(9)
+    base = tmp_path / "hf_base"
+    base.mkdir()
+    make_tts_checkpoint(base, rng, intermediate=256)
+    codec = tmp_path / "hf_codec"
+    codec.mkdir()
+    make_codec_checkpoint(codec, rng)
+    models = tmp_path / "models"
+
+    def run(out_type):
+        monkeypatch.setattr(sys, "argv", [
+            "setup_models.py", "--skip-download",
+            "--models-dir", str(models),
+            "--base-dir", str(base),
+            "--tokenizer-dir", str(codec),
+            "--type", out_type,
+        ])
+        return setup_models.main()
+
+    assert run("f16") == 0
+    capsys.readouterr()
+    assert run("q8_0") == 0          # skipped, but must warn
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "q8_0" in err
+    assert run("f16") == 0           # matching type: plain skip line
+    err = capsys.readouterr().err
+    assert "WARNING" not in err
