@@ -16,6 +16,8 @@ serving) and --seed.
 from __future__ import annotations
 
 import argparse
+import io
+import os
 import sys
 
 import numpy as np
@@ -126,15 +128,72 @@ def _parse_request_line(line: str):
     return text, out_file
 
 
-def _more_input_ready(stream) -> bool:
-    """True if another request line is already buffered on `stream`.
-    Non-selectable streams (StringIO, pipes on exotic platforms) report
-    True — batching then falls back to the size/EOF triggers."""
-    try:
+class _LineSource:
+    """Line reader that owns its buffer so "is another request already
+    waiting?" is answerable. A bare select() on the fd is not enough:
+    `for line in stream` readahead pulls every available byte into
+    Python's internal buffer, after which select() reports not-ready
+    while whole request lines sit buffered — a burst client piping N
+    lines would be flushed one request per synthesize call, defeating
+    --batch lock-step batching on real pipes. Reading the fd with
+    os.read into our own buffer keeps readiness and readahead in the
+    same place.
+
+    Streams with no usable fileno (StringIO in tests, exotic platforms)
+    fall back to stream.readline with more_ready()=True — batching then
+    relies on the size/EOF triggers, as before."""
+
+    def __init__(self, stream):
+        self._stream = stream
+        self._buf = b""
+        self._eof = False
+        try:
+            self._fd = stream.fileno()
+        except (OSError, ValueError, AttributeError,
+                io.UnsupportedOperation):
+            self._fd = None
+
+    def _drain_ready(self) -> None:
+        """Pull every byte the OS already has into our buffer without
+        blocking (select first, read only what is ready)."""
         import select
-        return bool(select.select([stream], [], [], 0.0)[0])
-    except (OSError, ValueError, TypeError):
-        return True
+        while not self._eof:
+            try:
+                ready = select.select([self._fd], [], [], 0.0)[0]
+            except (OSError, ValueError):
+                return
+            if not ready:
+                return
+            chunk = os.read(self._fd, 65536)
+            if not chunk:
+                self._eof = True
+                return
+            self._buf += chunk
+
+    def readline(self) -> str:
+        """Next line (newline stripped by the caller's parser), or ''
+        at EOF. Blocks until a full line or EOF arrives."""
+        if self._fd is None:
+            return self._stream.readline()
+        while b"\n" not in self._buf and not self._eof:
+            chunk = os.read(self._fd, 65536)     # blocking read
+            if not chunk:
+                self._eof = True
+                break
+            self._buf += chunk
+        if b"\n" in self._buf:
+            line, self._buf = self._buf.split(b"\n", 1)
+            return line.decode("utf-8", errors="replace") + "\n"
+        line, self._buf = self._buf, b""
+        return line.decode("utf-8", errors="replace")
+
+    def more_ready(self) -> bool:
+        """True if another request line is already available — either
+        buffered here or sitting in the OS pipe."""
+        if self._fd is None:
+            return True
+        self._drain_ready()
+        return b"\n" in self._buf or (self._eof and bool(self._buf))
 
 
 def run_server(tts: Qwen3TTS, speaker_embd,
@@ -177,7 +236,11 @@ def run_server(tts: Qwen3TTS, speaker_embd,
                  f"(RTF={res.t_total_ms/1e3/max(dur,1e-9):.2f})")
         pending.clear()
 
-    for line in stdin:
+    source = _LineSource(stdin)
+    while True:
+        line = source.readline()
+        if not line:
+            break
         req = _parse_request_line(line)
         if req is None:
             continue
@@ -186,7 +249,7 @@ def run_server(tts: Qwen3TTS, speaker_embd,
         text, out_file = req
         _err(f'Synthesizing: "{text}" -> {out_file}')
         pending.append((text, out_file))
-        if len(pending) >= max(batch, 1) or not _more_input_ready(stdin):
+        if len(pending) >= max(batch, 1) or not source.more_ready():
             flush_pending()
     flush_pending()
     _err("Server shutting down.")

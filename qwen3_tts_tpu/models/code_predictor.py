@@ -96,7 +96,12 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
             return codepred_fused.predict_codes_fused(
                 w, cfg, hidden, cb0, temperature, top_k, key,
                 greedy=greedy, interpret=(impl == "fused_interpret"))
-        if ok and jax.default_backend() == "tpu":       # auto
+        # auto: besides supported(), require a single device — Mosaic
+        # kernels are not auto-partitionable, so tracing the pallas_call
+        # on mesh-sharded operands inside a GSPMD program fails to
+        # compile (or forces replication). Multi-chip meshes take the
+        # XLA scan; explicit impl="fused" still forces the kernel.
+        if ok and jax.default_backend() == "tpu" and jax.device_count() == 1:
             return codepred_fused.predict_codes_fused(
                 w, cfg, hidden, cb0, temperature, top_k, key,
                 greedy=greedy)

@@ -110,9 +110,17 @@ def supported(cfg, B: int, w) -> bool:
     previous transfer is still in flight)."""
     cp = w["code_pred"]
     L = cfg.code_pred_layers
+    lw = cp["layers"]
+    # The streamed weights are DMA'd into bf16 VMEM ring buffers; any
+    # other dtype (e.g. a stack loaded with MATMUL_DTYPE=float32, as
+    # tools/parity.py uses) would hit a Mosaic DMA dtype mismatch —
+    # gate it here so the auto path cleanly falls back to XLA instead.
+    streamed_bf16 = "wqkv" in lw and all(
+        lw[name].dtype == jnp.bfloat16
+        for name in ("wqkv", "wo", "w_gu", "w_down"))
     return (
         cp.get("mtp_w") is None
-        and "wqkv" in cp["layers"]
+        and streamed_bf16
         and L == L_DEFAULT
         and cfg.code_pred_hidden_size == H
         and cfg.code_pred_n_attention_heads == NH

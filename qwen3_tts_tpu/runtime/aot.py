@@ -25,6 +25,16 @@ Compiled executables take only the DYNAMIC arguments (the jit wrapper's
 static args — cfg, chunk size, flags — are baked into the artifact), so
 the returned callable is invoked with the dynamic subset, in the original
 order. Donation semantics are preserved.
+
+TRUST BOUNDARY: artifacts are pickles (jax's serialize_executable is
+itself pickle-based), and unpickling executes arbitrary code — the cache
+directory must be treated like the code itself. Anyone who can write to
+it (or set QWEN3_TTS_AOT_DIR to a directory they control) can execute
+code in the serving process. The default dir lives next to the package
+checkout and is created mode 0700; do NOT point QWEN3_TTS_AOT_DIR at a
+shared or world-writable location. The reference has the same property
+with its .trt engine files (deserialized native code,
+trt_code_predictor.cpp:89-166) — engines there, executables here.
 """
 
 from __future__ import annotations
@@ -143,7 +153,9 @@ class AotCache:
                               .local_devices()]
             except AttributeError:
                 device_ids = [d.id for d in jax.devices()]
-            self.dir.mkdir(parents=True, exist_ok=True)
+            # 0700: the cache is a code-execution surface (see module
+            # docstring) — never group/world writable
+            self.dir.mkdir(parents=True, exist_ok=True, mode=0o700)
             path = self._path(key)
             # pid-suffixed temp: concurrent warmups on one host must not
             # interleave writes into the same temp file (os.replace is

@@ -361,14 +361,22 @@ class Qwen3TTS:
                            jax.random.PRNGKey(seed),
                            kv_quant=kv_quant_enabled(),
                            kv_layered=kv_layered_enabled())
-        if self.mesh is not None and B % self.mesh.shape.get("dp", 1) == 0:
-            # sharded engine: stream batch over dp, KV heads over tp —
-            # every chunk below runs SPMD with explicit state layouts
-            # (not just weight-sharding propagation). Ragged batches
-            # (B not divisible by dp) fall back to GSPMD propagation
-            # from the weight shardings alone.
-            from ..parallel.mesh import shard_gen_state
-            state = shard_gen_state(state, self.mesh)
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            if B % dp == 0:
+                # sharded engine: stream batch over dp, KV heads over tp
+                # — every chunk below runs SPMD with explicit state
+                # layouts (not just weight-sharding propagation).
+                from ..parallel.mesh import shard_gen_state
+                state = shard_gen_state(state, self.mesh)
+            else:
+                # Ragged batches (B not divisible by dp) fall back to
+                # GSPMD propagation from the weight shardings alone —
+                # a silently different (likely slower) layout, so say so.
+                _log(f"[shard] batch {B} not divisible by dp={dp}: "
+                     f"generation state left to GSPMD propagation "
+                     f"(pad the batch to a multiple of {dp} for the "
+                     f"explicit dp layout)")
         consts = make_consts(prefill, p.temperature, p.repetition_penalty)
 
         frames: list[list[np.ndarray]] = [[] for _ in range(B)]
@@ -382,9 +390,21 @@ class Qwen3TTS:
         # queue is never empty between chunks (gen k-1 | voc k-2 | gen k |
         # voc k-1 | ... back-to-back). The reference decodes synchronously
         # inside its frame callback instead (qwen3_tts.cpp:440-452).
+        # Attention read-window coverage is tracked HOST-side (as the
+        # serving ring does via _steps_done, serve.py): no stream's
+        # n_past can exceed the padded prefill length plus the frames
+        # dispatched so far, so no blocking np.asarray(state.n_past)
+        # read lands between chunk dispatches — the device queue stays
+        # full, and no device error can surface mid-dispatch at a
+        # readback this function didn't need (bench_r3_b224's OOM did).
+        prefill_cov = prefill.prefill_embd.shape[1]
+        steps_dispatched = 0
+
         def dispatch(state):
-            read_ctx = ctx_bucket(int(np.asarray(state.n_past).max()),
+            nonlocal steps_dispatched
+            read_ctx = ctx_bucket(prefill_cov + steps_dispatched,
                                   CHUNK_FRAMES, max_ctx)
+            steps_dispatched += CHUNK_FRAMES
             return generate_chunk(
                 self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
                 greedy=greedy, read_ctx=read_ctx, lockstep=True)

@@ -114,3 +114,47 @@ def test_resolve_embedding_rejects_wrong_size(engine, tmp_path):
     audio_io.save_embedding(p, np.zeros(7, np.float32))
     emb = cli.resolve_embedding(engine, p, None)
     assert emb is None
+
+
+def test_serve_batched_burst_on_real_pipe(engine, tmp_path):
+    """A burst client piping N lines at once must still lock-step batch.
+
+    Regression for the select()-only readiness check: `for line in
+    stdin` readahead pulled every available byte into Python's buffer,
+    select() then reported not-ready, and each request flushed alone —
+    --batch was a no-op on real pipes (StringIO tests masked it).
+    _LineSource owns the readahead, so queued lines stay visible."""
+
+    class _RecordBatches:
+        def __init__(self, inner):
+            self._inner = inner
+            self.batch_sizes = []
+
+        def synthesize_batch(self, texts, embs, params):
+            self.batch_sizes.append(len(texts))
+            return self._inner.synthesize_batch(texts, embs, params)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    outs = [str(tmp_path / f"burst{i}.wav") for i in range(3)]
+    r_fd, w_fd = os.pipe()
+    with os.fdopen(w_fd, "w") as w:
+        for i, out in enumerate(outs):
+            w.write(f"hello world {i}.\t{out}\n")
+        w.write("quit\n")
+    # all four lines now sit in the OS pipe; the write end is closed
+    rec = _RecordBatches(engine)
+    params = TTSParams(max_audio_tokens=8, temperature=0.0,
+                       print_timing=False, seed=0)
+    stdout = io.StringIO()
+    with os.fdopen(r_fd, "r") as stdin:
+        rc = cli.run_server(rec, None, params, batch=3,
+                            stdin=stdin, stdout=stdout)
+    assert rc == 0
+    assert rec.batch_sizes == [3], (
+        f"burst of 3 piped requests must synthesize as one lock-step "
+        f"batch, got calls of sizes {rec.batch_sizes}")
+    lines = stdout.getvalue().strip().split("\n")
+    assert len(lines) == 3 and all(l.startswith("OK\t") for l in lines)
+    assert all(os.path.exists(o) for o in outs)

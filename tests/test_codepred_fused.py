@@ -298,3 +298,50 @@ def test_split_batch_matches_single(weights, inputs, monkeypatch):
                                 greedy=True, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(split), np.concatenate([np.asarray(lo), np.asarray(hi)]))
+
+
+def test_supported_rejects_f32_streamed_weights(weights):
+    """The kernel DMAs wqkv/wo/w_gu/w_down into bf16 VMEM rings; a stack
+    loaded at MATMUL_DTYPE=float32 (tools/parity.py's pattern) must fall
+    back to XLA instead of hitting a Mosaic DMA dtype mismatch."""
+    w32 = dict(weights)
+    cp = dict(w32["code_pred"])
+    cp["layers"] = {k: (v.astype(jnp.float32)
+                        if k in ("wqkv", "wo", "w_gu", "w_down") else v)
+                    for k, v in cp["layers"].items()}
+    w32["code_pred"] = cp
+    assert not cf.supported(CFG, 8, w32)
+    assert cf.supported(CFG, 8, weights)      # control
+
+
+def test_auto_skips_fused_on_multi_device(weights, inputs, monkeypatch):
+    """'auto' must not trace the Mosaic kernel on a multi-device mesh
+    (not auto-partitionable under GSPMD) — it falls back to the XLA
+    scan. Simulated: backend reports tpu + 8 devices; the fused entry
+    point is rigged to fail the test if touched."""
+    hidden, cb0 = inputs
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+
+    def boom(*a, **k):
+        raise AssertionError("fused kernel dispatched on multi-device mesh")
+    monkeypatch.setattr(cf, "predict_codes_fused", boom)
+    code_predictor.set_codepred_impl("auto")
+    try:
+        got = code_predictor.predict_codes(
+            weights, CFG, hidden, cb0, jnp.float32(0.9), 50,
+            jax.random.PRNGKey(3), greedy=True)
+    finally:
+        code_predictor.set_codepred_impl(None)
+    assert got.shape == (B, 15)
+    # single-device tpu DOES take the kernel (proves the gate is the
+    # device count, not the monkeypatched backend)
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    code_predictor.set_codepred_impl("auto")
+    try:
+        with pytest.raises(AssertionError, match="multi-device mesh"):
+            code_predictor.predict_codes(
+                weights, CFG, hidden, cb0, jnp.float32(0.9), 50,
+                jax.random.PRNGKey(3), greedy=True)
+    finally:
+        code_predictor.set_codepred_impl(None)

@@ -248,3 +248,40 @@ def test_continuous_batcher_on_mesh_matches_single():
         assert a.success and b.success
         assert a.n_frames == b.n_frames
         np.testing.assert_allclose(b.audio, a.audio, atol=1e-3)
+
+
+def test_ragged_batch_warns_and_stays_correct(setup, capfd):
+    """B % dp != 0 can't take the explicit dp state layout; the engine
+    must SAY so (one stderr line) instead of silently degrading to
+    GSPMD propagation — and the output must still be right (equal to
+    the unsharded engine on the same inputs)."""
+    import dataclasses
+
+    from qwen3_tts_tpu.models import vocoder as voc_mod
+    from qwen3_tts_tpu.runtime.pipeline import Qwen3TTS, TTSParams
+    from .test_tokenizer import make_tiny_tokenizer
+
+    cfg, w, _ = setup
+    rng = np.random.default_rng(63)
+    voc_cfg = dataclasses.replace(voc_mod.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    voc_w = voc_mod.init_vocoder_weights(rng, voc_cfg)
+    texts = ["hello.", "hello world.", "hello hello."]   # 3 % 8 != 0
+    params = TTSParams(max_audio_tokens=8, temperature=0.0,
+                       print_timing=False, print_progress=False, seed=0)
+
+    base_engine = Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                           voc_cfg, voc_w)
+    base = base_engine.synthesize_batch(texts, None, params)
+    capfd.readouterr()
+
+    mesh = make_mesh(8, 1)
+    engine = Qwen3TTS.from_components(make_tiny_tokenizer(), cfg, w,
+                                      voc_cfg, voc_w).shard(mesh)
+    got = engine.synthesize_batch(texts, None, params)
+    err = capfd.readouterr().err
+    assert "not divisible by dp=8" in err
+    for b, g in zip(base, got):
+        assert g.success
+        np.testing.assert_array_equal(
+            np.asarray(g.audio), np.asarray(b.audio))
