@@ -17,7 +17,15 @@ records which vocoder residual-chain implementation ACTUALLY ran
 ("voc_impl": "fused"/"xla") so a compile-flake fallback can never
 masquerade as the fused-kernel number (VERDICT r2 "what's weak" #1).
 
-Usage: python bench.py [--batch 160] [--chunks 3] [--check-fused]
+Startup hygiene (VERDICT r3 "next" #8): the on-device weight init and
+every generation/vocoder executable go through the AOT artifact cache
+(runtime/aot.py), so a warm run spends its tunnel time measuring, not
+initializing (r3 logs: 12-528 s variance on the identical init program).
+`--ladder` measures several configs in ONE process — weights init once,
+backend init once, one JSON line per config as each completes.
+
+Usage: python bench.py [--batch 192] [--kv int8] [--cache layered]
+       python bench.py --ladder 192:int8:layered,256:int8:layered
 """
 
 from __future__ import annotations
@@ -32,80 +40,44 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    # B=192 is the round-3 sweet spot on one v5e chip: 34.9 ms/frame vs
-    # the 80 ms realtime budget — 192 concurrent realtime streams at 56%
-    # margin, 0.182 ms/frame/stream (440x the reference); B=160: 29.4 ms
-    # (436x). Both measured with bf16 KV (see --kv below).
-    ap.add_argument("--batch", type=int, default=192)
-    # Default bf16: the recorded B=192 34.9 ms ladder ran bf16 (the old
-    # --kv int8 plumbing bug, NOTES.md round 3); int8 is tested but not
-    # yet measured on chip — switch the default once r3_measure.sh lands.
-    ap.add_argument("--kv", choices=("int8", "bf16"), default="bf16",
-                    help="talker KV cache dtype (int8 halves KV memory "
-                         "+ read bandwidth; code predictor stays bf16 "
-                         "per the reference constraint, README.md:72)")
-    ap.add_argument("--cache", choices=("stacked", "layered"),
-                    default=None,
-                    help="talker KV cache layout (layered = per-layer "
-                         "buffers, avoids XLA slice-copy of the stacked "
-                         "[L,...] array; default = QWEN3_TTS_CACHE env "
-                         "or stacked)")
-    ap.add_argument("--chunks", type=int, default=3,
-                    help="measured generation chunks per run (>=1)")
-    ap.add_argument("--runs", type=int, default=3,
-                    help="repeat the measured section; report the median "
-                         "(tunnel variance is +-20%%)")
-    ap.add_argument("--max-frames", type=int, default=400)
-    ap.add_argument("--temperature", type=float, default=0.9)
-    ap.add_argument("--compile-retries", type=int, default=3,
-                    help="retries for the fused-vocoder compile (the axon "
-                         "remote-compile helpers 500 on ~40%% of Pallas "
-                         "compiles; a retry usually succeeds)")
-    ap.add_argument("--check-fused", action="store_true",
-                    help="numerically compare the fused vocoder against "
-                         "the XLA chain at the bench shape (costs one "
-                         "extra vocoder compile)")
-    args = ap.parse_args()
-    if args.chunks < 1:
-        ap.error("--chunks must be >= 1")
+CHUNK = 40
+FRAME_BUDGET_MS = 80.0  # 12.5 Hz frame period
 
+
+def voc_sub_for(B: int) -> int:
+    """Production vocoder sub-batching (runtime/pipeline.py caps decode
+    batches to bound the 76,800-sample tail activations — [48, 76800, C]
+    f32 buffers are ~1.4 GB each; B=96 whole-batch OOMs the 16 GB chip).
+    Past B=96 the talker KV cache (~59 MB/stream bf16 at ctx 512) crowds
+    out even the 48-wide buffers; B>192 the gen chunk + vocoder working
+    sets are resident CONCURRENTLY in the pipelined loop (16-wide tail
+    OOMed next to the B=224 KV cache, r3); B>256 halves again."""
+    if B <= 96:
+        return 48
+    if B <= 128:
+        return 32
+    if B <= 192:
+        return 16
+    if B <= 256:
+        return 8
+    return 4
+
+
+def measure_entry(*, B: int, kv: str, cache: str | None, args, cfg, w,
+                  vcfg, vw, aot, jax, jnp, np) -> dict:
+    """Measure one (batch, kv-dtype, cache-layout) config; returns the
+    JSON record. Weights are shared across ladder entries."""
     import os
-    os.environ["QWEN3_TTS_KV"] = args.kv   # read dynamically downstream
-    if args.cache is not None:
-        os.environ["QWEN3_TTS_CACHE"] = args.cache
 
-    # Backend-init watchdog: when the axon tunnel is unhealthy,
-    # jax.devices() hangs indefinitely (observed: a multi-hour relay
-    # outage where every probe blocked at PJRT init). Fail fast with a
-    # machine-readable error instead of wedging the driver.
-    import threading
-    init_done = threading.Event()
-    # covers backend init AND the on-device weight init (the cold-cache
-    # weight-init compile alone is ~400 s through the tunnel)
-    watchdog_s = float(os.environ.get("QWEN3_TTS_BENCH_INIT_TIMEOUT", "900"))
+    from qwen3_tts_tpu.models import talker, vocoder
+    from qwen3_tts_tpu.runtime.generate import (
+        ctx_bucket, generate_chunk, init_state, kv_layered_enabled,
+        kv_quant_enabled, make_consts, required_ctx)
 
-    def _watchdog():
-        if not init_done.wait(watchdog_s):
-            print(json.dumps({
-                "metric": "bench_error", "value": 0, "unit": "none",
-                "vs_baseline": 0,
-                "error": f"TPU backend init exceeded {watchdog_s:.0f}s "
-                         "(axon tunnel down?)"}), flush=True)
-            os._exit(3)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-
-    import jax
-
-    # persistent compile cache: repeat bench runs skip the 20-100s compiles
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-    import numpy as np
-    jax.devices()          # force PJRT init under the watchdog
+    os.environ["QWEN3_TTS_KV"] = kv      # read dynamically downstream
+    if cache is not None:
+        os.environ["QWEN3_TTS_CACHE"] = cache
+    layout = "layered" if kv_layered_enabled() else "stacked"
 
     def sync(x):
         # block_until_ready is unreliable on the experimental axon
@@ -117,35 +89,9 @@ def main() -> None:
         leaf = jax.tree.leaves(x)[-1]
         jax.device_get(leaf.ravel()[:1])
 
-    from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
-    from qwen3_tts_tpu.models import talker, vocoder
-    from qwen3_tts_tpu.models.weights import init_talker_weights_device
-    from qwen3_tts_tpu.runtime.generate import (
-        ctx_bucket, generate_chunk, init_state, kv_layered_enabled,
-        kv_quant_enabled, make_consts, required_ctx)
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
-
-    cfg = TalkerConfig()
-    B = args.batch
-    CHUNK = 40
-    FRAME_BUDGET_MS = 80.0  # 12.5 Hz frame period
-
-    t0 = time.monotonic()
-    # ON-DEVICE random init: one jitted program, persistently cached.
-    # Host init + device_put was measured at 1105 s — the axon tunnel
-    # uploads at ~1.3 MB/s, so shipping 1.4 GB of weights from the host
-    # is the worst option; generating them on-chip costs one (cacheable)
-    # compile and ~1 s of device time.
-    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
-    sync(jax.tree.leaves(w)[0][..., :1])
-    log(f"0.6B talker+code-pred weights initialized on device "
-        f"({time.monotonic()-t0:.1f}s)")
-    init_done.set()        # watchdog disarms after the first real device op
-
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(0, 1000, (B, 48)), jnp.int32)
+    tok_hi = min(1000, cfg.text_vocab_size)   # --tiny has a 512 vocab
+    tokens = jnp.asarray(rng.integers(0, tok_hi, (B, 48)), jnp.int32)
     lens = jnp.full((B,), 48, jnp.int32)
     spk = jnp.zeros((B, cfg.hidden_size), jnp.float32)
 
@@ -163,29 +109,43 @@ def main() -> None:
     log(f"prefill B={B} ctx={ctx}: {(time.monotonic()-t0)*1e3:.0f} ms "
         f"(includes compile)")
     consts = make_consts(prefill, args.temperature, 1.05)
+    greedy = args.temperature <= 0.0
+
+    # Generation executables per read-ctx bucket, AOT-cached (embeds the
+    # Pallas code-pred megakernel; get_or_compile retries the flaky
+    # remote Pallas compiles and persists the artifact — warm runs
+    # deserialize in seconds instead of recompiling for minutes).
+    gen_execs: dict[int, object] = {}
+
+    def gen_fn(rc: int):
+        fn = gen_execs.get(rc)
+        if fn is None:
+            name = (f"bench-gen-b{B}-c{ctx}-rc{rc}-kv{kv}-cl{layout}"
+                    f"-k50-g{int(greedy)}")
+            fn = aot.get_or_compile(
+                name, generate_chunk, w, cfg, state, consts, 50, CHUNK,
+                greedy=greedy, read_ctx=rc, lockstep=True,
+                retries=args.compile_retries)
+            gen_execs[rc] = fn
+        return fn
+
+    # Attention read-window coverage tracked HOST-side (the pipeline /
+    # serving-ring policy): no np.asarray(state.n_past) lands between
+    # chunk dispatches, so the device queue stays full and no device
+    # error can surface at a readback the loop didn't need (the r3
+    # B=224 OOM surfaced at exactly that np.asarray).
+    prefill_cov = prefill.prefill_embd.shape[1]
+    steps_dispatched = 0
 
     def run_chunk(state):
-        # production path: lock-step scalar KV write + bucketed read window
-        read_ctx = ctx_bucket(int(np.asarray(state.n_past).max()),
-                              CHUNK, ctx)
-        return generate_chunk(w, cfg, state, consts, 50, CHUNK,
-                              read_ctx=read_ctx, lockstep=True)
+        nonlocal steps_dispatched
+        rc = ctx_bucket(prefill_cov + steps_dispatched, CHUNK, ctx)
+        steps_dispatched += CHUNK
+        return gen_fn(rc)(w, state, consts)
 
-    # warmup (compile). generate_chunk now embeds the Pallas code-pred
-    # megakernel — retry like the vocoder below (the axon remote-compile
-    # helpers 500 on ~40% of Pallas compiles).
     t0 = time.monotonic()
-    for attempt in range(args.compile_retries):
-        try:
-            state, codes, valid = run_chunk(state)
-            sync(codes)
-            break
-        except Exception as e:
-            if attempt == args.compile_retries - 1:
-                raise
-            log(f"generate_chunk compile attempt {attempt + 1} failed: "
-                f"{type(e).__name__}: {str(e)[:200]}")
-            time.sleep(2.0)
+    state, codes, valid = run_chunk(state)
+    sync(codes)
     log(f"generate_chunk compile+first run: {time.monotonic()-t0:.1f}s")
 
     t0 = time.monotonic()
@@ -201,65 +161,58 @@ def main() -> None:
 
     # vocoder: batched 40-frame chunk decode at full scale (causal trim =
     # the streaming TRT-parity path, exactly CHUNK*1920 samples)
-    vcfg = VocoderConfig()
-    vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
-    vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
     vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
+    VOC_SUB = voc_sub_for(B)
 
-    # production sub-batching (runtime/pipeline.py caps decode batches at
-    # 48 to bound the 76,800-sample tail activations — [48, 76800, C] f32
-    # buffers are ~1.4 GB each; B=96 whole-batch OOMs the 16 GB chip).
-    # Past B=96 the talker KV cache (~59 MB/stream at ctx 512) crowds out
-    # even the 48-wide buffers; shrink further.
-    # B>192: gen chunk + vocoder working sets are resident CONCURRENTLY
-    # in the pipelined loop; 16-wide tail activations OOM next to the
-    # B=224 KV cache (measured) — halve again.
-    VOC_SUB = (48 if B <= 96 else
-               (32 if B <= 128 else (16 if B <= 192 else 8)))
-
-    def voc_decode(codes):
-        # ONE dispatch for the whole batch: lax.map over VOC_SUB-wide
-        # sub-batches inside a single executable (vocoder.py). The
-        # python-loop version paid B/VOC_SUB tunnel dispatches; under
-        # tunnel congestion those dominated (measured 51 vs ~15 ms/frame
-        # at B=160).
-        return vocoder.vocoder_decode_subbatched(
-            vw, vcfg, codes, trim="causal", sub=VOC_SUB)
-
-    # Compile the vocoder. The fused Pallas res-chain kernels hit flaky
-    # HTTP-500s from the axon remote-compile helpers (~40% of Pallas
-    # compiles, NOTES.md); retry before ever falling back so the recorded
-    # number is the production (fused) configuration. Whatever ran is
-    # reported in the output JSON as voc_impl.
+    # ONE dispatch for the whole batch: lax.map over VOC_SUB-wide
+    # sub-batches inside a single executable (vocoder.py). The
+    # python-loop version paid B/VOC_SUB tunnel dispatches; under tunnel
+    # congestion those dominated (measured 51 vs ~15 ms/frame at B=160).
+    # AOT-cached like the gen step; the artifact embeds the fused Pallas
+    # res-chain kernels, and get_or_compile's retry loop covers the
+    # flaky remote Pallas compiles (HTTP 500 on ~40%, NOTES.md).
     vocoder.reset_res_chain_traced()
     t0 = time.monotonic()
-    audio = None
-    for attempt in range(args.compile_retries):
-        try:
-            audio = voc_decode(vcodes)
-            sync(audio)
-            break
-        except Exception as e:
-            log(f"vocoder compile attempt {attempt + 1}/"
-                f"{args.compile_retries} failed: {type(e).__name__}: "
-                f"{str(e)[:200]}")
-            time.sleep(2.0)
-    if audio is None:
-        log("fused vocoder kernels failed to compile after retries; "
-            "falling back to XLA chain — recorded numbers are the "
-            "DEGRADED path")
+    used_fallback = False
+    try:
+        voc_exec = aot.get_or_compile(
+            f"bench-voc-b{B}-sub{VOC_SUB}-fused",
+            vocoder.vocoder_decode_subbatched, vw, vcfg, vcodes,
+            trim="causal", sub=VOC_SUB, retries=args.compile_retries)
+    except Exception as e:
+        log(f"fused vocoder failed to compile after retries "
+            f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+            f"XLA chain — recorded numbers are the DEGRADED path")
+        used_fallback = True
         vocoder.set_res_chain_impl("xla")
-        audio = voc_decode(vcodes)
-        sync(audio)
+        try:
+            voc_exec = aot.get_or_compile(
+                f"bench-voc-b{B}-sub{VOC_SUB}-xla",
+                vocoder.vocoder_decode_subbatched, vw, vcfg, vcodes,
+                trim="causal", sub=VOC_SUB, retries=args.compile_retries)
+        finally:
+            # scope the degradation to THIS entry: a flaky fused compile
+            # at rung k must not silently demote rungs k+1..n
+            vocoder.set_res_chain_impl("auto")
+
+    def voc_decode(codes):
+        return voc_exec(vw, codes)
+
+    audio = voc_decode(vcodes)
+    sync(audio)
     # OBSERVED at trace time (vocoder._res_chain records which impl each
     # chain actually used — the silent ValueError fallback made the old
     # backend-inferred label exactly the masquerade this JSON field
-    # exists to prevent)
+    # exists to prevent). An artifact loaded from the AOT cache never
+    # traces ("untraced"); the impl is then the one baked into the
+    # artifact's name, which the load path selected above.
     voc_impl = vocoder.res_chain_impl_traced()
+    if voc_impl == "untraced":
+        voc_impl = "aot:xla" if used_fallback else "aot:fused"
     log(f"vocoder compile+first chunk: {time.monotonic()-t0:.1f}s "
         f"(impl={voc_impl})")
 
-    if args.check_fused and voc_impl == "fused":
+    if args.check_fused and voc_impl.endswith("fused"):
         # parity: compiled fused kernels vs the XLA chain at this shape
         # (ADVICE r2: the Mosaic path was parity-tested only interpreted)
         # Each side gets a FRESH jit wrapper: the impl switch is read
@@ -354,19 +307,169 @@ def main() -> None:
         f"(budget {FRAME_BUDGET_MS:.0f} ms) -> per-stream RTF {rtf:.4f}; "
         f"{B} realtime streams {'OK' if realtime_ok else 'NOT met'}")
 
-    print(json.dumps({
+    return {
         "metric": f"ms_per_frame_per_stream_b{B}",
         "value": round(per_stream, 4),
         "unit": "ms",
         "vs_baseline": round(FRAME_BUDGET_MS / per_stream, 2),
         "voc_impl": voc_impl,
-        "kv": args.kv,
-        "cache_layout": "layered" if kv_layered_enabled() else "stacked",
+        "kv": kv,
+        "cache_layout": layout,
         "gen_ms_per_frame": round(gen_ms_per_batchframe, 2),
         "voc_ms_per_frame": round(voc_ms_per_batchframe, 2),
         "total_ms_per_frame": round(total_ms_per_batchframe, 2),
         "realtime_streams_ok": realtime_ok,
-    }))
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    # B=192 is the round-3 sweet spot on one v5e chip: 34.9 ms/frame vs
+    # the 80 ms realtime budget — 192 concurrent realtime streams at 56%
+    # margin, 0.182 ms/frame/stream (440x the reference); B=160: 29.4 ms
+    # (436x). Both measured with bf16 KV (see --kv below).
+    ap.add_argument("--batch", type=int, default=192)
+    # Default bf16: the recorded B=192 34.9 ms ladder ran bf16 (the old
+    # --kv int8 plumbing bug, NOTES.md round 3); int8 is tested but not
+    # yet measured on chip — switch the default once r3_measure.sh lands.
+    ap.add_argument("--kv", choices=("int8", "bf16"), default="bf16",
+                    help="talker KV cache dtype (int8 halves KV memory "
+                         "+ read bandwidth; code predictor stays bf16 "
+                         "per the reference constraint, README.md:72)")
+    ap.add_argument("--cache", choices=("stacked", "layered"),
+                    default=None,
+                    help="talker KV cache layout (layered = per-layer "
+                         "buffers, avoids XLA slice-copy of the stacked "
+                         "[L,...] array; default = QWEN3_TTS_CACHE env "
+                         "or stacked)")
+    ap.add_argument("--ladder", type=str, default=None,
+                    help="comma-separated B:kv:cache entries measured in "
+                         "ONE process (weights+backend init paid once), "
+                         "e.g. 192:int8:layered,256:int8:layered. One "
+                         "JSON line per entry, printed as each completes "
+                         "(an OOM at a later rung keeps earlier lines). "
+                         "Overrides --batch/--kv/--cache.")
+    ap.add_argument("--chunks", type=int, default=3,
+                    help="measured generation chunks per run (>=1)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="repeat the measured section; report the median "
+                         "(tunnel variance is +-20%%)")
+    ap.add_argument("--max-frames", type=int, default=400)
+    ap.add_argument("--temperature", type=float, default=0.9)
+    ap.add_argument("--compile-retries", type=int, default=3,
+                    help="retries for Pallas-embedding compiles (the axon "
+                         "remote-compile helpers 500 on ~40%% of Pallas "
+                         "compiles; a retry usually succeeds)")
+    ap.add_argument("--check-fused", action="store_true",
+                    help="numerically compare the fused vocoder against "
+                         "the XLA chain at the bench shape (costs one "
+                         "extra vocoder compile)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke mode: tiny model dims (CPU-runnable CI "
+                         "check of the bench flow; numbers meaningless)")
+    args = ap.parse_args()
+    if args.chunks < 1:
+        ap.error("--chunks must be >= 1")
+
+    entries: list[tuple[int, str, str | None]] = []
+    if args.ladder:
+        for spec in args.ladder.split(","):
+            parts = spec.strip().split(":")
+            if len(parts) != 3 or parts[1] not in ("int8", "bf16") \
+                    or parts[2] not in ("stacked", "layered"):
+                ap.error(f"bad --ladder entry {spec!r} "
+                         "(want B:int8|bf16:stacked|layered)")
+            entries.append((int(parts[0]), parts[1], parts[2]))
+    else:
+        entries.append((args.batch, args.kv, args.cache))
+
+    import os
+
+    # Backend-init watchdog: when the axon tunnel is unhealthy,
+    # jax.devices() hangs indefinitely (observed: a multi-hour relay
+    # outage where every probe blocked at PJRT init). Fail fast with a
+    # machine-readable error instead of wedging the driver.
+    import threading
+    init_done = threading.Event()
+    # covers backend init AND the on-device weight init (the cold-cache
+    # weight-init compile alone is ~400 s through the tunnel)
+    watchdog_s = float(os.environ.get("QWEN3_TTS_BENCH_INIT_TIMEOUT", "900"))
+
+    def _watchdog():
+        if not init_done.wait(watchdog_s):
+            print(json.dumps({
+                "metric": "bench_error", "value": 0, "unit": "none",
+                "vs_baseline": 0,
+                "error": f"TPU backend init exceeded {watchdog_s:.0f}s "
+                         "(axon tunnel down?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+
+    # honor JAX_PLATFORMS=cpu (the image's sitecustomize pre-imports jax
+    # with the axon platform, so the env var alone is too late — the
+    # --tiny CPU smoke would otherwise hang on the dead tunnel)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    # persistent compile cache: repeat bench runs skip the 20-100s compiles
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+    jax.devices()          # force PJRT init under the watchdog
+
+    from qwen3_tts_tpu.config import TalkerConfig, VocoderConfig
+    from qwen3_tts_tpu.models import vocoder
+    from qwen3_tts_tpu.models.weights import init_talker_weights_device
+    from qwen3_tts_tpu.runtime.aot import AotCache
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    if args.tiny:
+        import dataclasses
+
+        from qwen3_tts_tpu.models.weights import tiny_talker_config
+        cfg = tiny_talker_config()
+        vcfg = dataclasses.replace(vocoder.tiny_vocoder_config(),
+                                   codebook_size=2048)
+    else:
+        cfg = TalkerConfig()
+        vcfg = VocoderConfig()
+    aot = AotCache()
+
+    t0 = time.monotonic()
+    # ON-DEVICE random init: one jitted program, AOT-cached to disk.
+    # Host init + device_put was measured at 1105 s — the axon tunnel
+    # uploads at ~1.3 MB/s, so shipping 1.4 GB of weights from the host
+    # is the worst option; generating them on-chip costs one (persisted)
+    # compile and ~1 s of device time.
+    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg,
+                                   aot_cache=aot)
+    jax.device_get(jax.tree.leaves(w)[0].ravel()[:1])
+    log(f"0.6B talker+code-pred weights initialized on device "
+        f"({time.monotonic()-t0:.1f}s)")
+    init_done.set()        # watchdog disarms after the first real device op
+
+    vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
+    vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
+
+    for i, (B, kv, cache) in enumerate(entries):
+        if len(entries) > 1:
+            log(f"--- ladder entry {i+1}/{len(entries)}: "
+                f"B={B} kv={kv} cache={cache} ---")
+        rec = measure_entry(B=B, kv=kv, cache=cache, args=args, cfg=cfg,
+                            w=w, vcfg=vcfg, vw=vw, aot=aot, jax=jax,
+                            jnp=jnp, np=np)
+        print(json.dumps(rec), flush=True)
+        # drop this entry's device state before the next rung: leftover
+        # KV/activation buffers from rung k would OOM rung k+1 at B=256+
+        import gc
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -237,14 +237,26 @@ def init_talker_weights_fast(seed: int, cfg: TalkerConfig,
 
 
 def init_talker_weights_device(key, cfg: TalkerConfig,
-                               scale: float = 0.02) -> dict[str, Any]:
+                               scale: float = 0.02,
+                               aot_cache=None) -> dict[str, Any]:
     """Random init generated ON-DEVICE (jax.random) — used by benchmarks
     at full 0.6B scale where host-side numpy init would dominate startup.
-    The whole init is one jitted program (one compile)."""
+    The whole init is one jitted program (one compile).
+
+    aot_cache: optional runtime.aot.AotCache — the init executable is
+    then serialized to disk, so warm bench runs skip the remote compile
+    entirely (the r3 logs show 12-528 s tunnel-dependent variance for
+    this one program; a warm artifact load is seconds, flat)."""
     import jax
     from functools import partial
-    return jax.jit(partial(_init_talker_weights_device_impl, cfg=cfg,
-                           scale=scale))(key)
+    jfn = jax.jit(partial(_init_talker_weights_device_impl, cfg=cfg,
+                          scale=scale))
+    if aot_cache is not None:
+        name = (f"winit-{cfg.n_layers}x{cfg.hidden_size}"
+                f"-cp{cfg.code_pred_layers}x{cfg.code_pred_hidden_size}"
+                f"-s{scale}")
+        return aot_cache.get_or_compile(name, jfn, key)(key)
+    return jfn(key)
 
 
 def _init_talker_weights_device_impl(key, *, cfg: TalkerConfig,

@@ -97,6 +97,12 @@ class AotCache:
         env = os.environ.get("QWEN3_TTS_AOT", "1")
         self.enabled = (env != "0") if enabled is None else enabled
         self._fp = None
+        # In-process memo: a key this process already compiled (or loaded)
+        # is returned live instead of round-tripping through disk — the
+        # XLA:CPU backend cannot dispatch an executable deserialized in
+        # the same process that serialized it ("Function ..._fusion not
+        # found"), and on TPU a deserialize costs 0.2-1.2 s per artifact.
+        self._mem: dict[str, _LoadedExec] = {}
 
     @property
     def fingerprint(self) -> str:
@@ -181,8 +187,12 @@ class AotCache:
         Compiles are retried (the axon remote-compile helpers return
         flaky HTTP 500s on ~40% of Pallas compiles, NOTES.md; a retry
         usually succeeds)."""
+        hit = self._mem.get(key)
+        if hit is not None:
+            return hit
         hit = self.load(key)
         if hit is not None:
+            self._mem[key] = hit
             return hit
         t0 = time.monotonic()
         for attempt in range(retries + 1):
@@ -197,4 +207,6 @@ class AotCache:
                 time.sleep(2.0)
         _log(f"compiled {key} ({time.monotonic()-t0:.1f} s)")
         self.save(key, compiled)
-        return _LoadedExec(compiled)
+        out = _LoadedExec(compiled)
+        self._mem[key] = out
+        return out

@@ -79,6 +79,10 @@ class TTSResult:
     t_generate_ms: float = 0.0
     t_decode_ms: float = 0.0
     t_total_ms: float = 0.0
+    # serving only (ContinuousBatcher): wall time the request sat queued
+    # before a slot admitted it. t_total_ms counts from ADMISSION, so
+    # client-observed latency is t_queue_ms + t_total_ms.
+    t_queue_ms: float = 0.0
     mem_rss_peak_bytes: int = 0
     device_mem_bytes: int = 0
 

@@ -42,6 +42,7 @@ class _Slot:
     audio: list = field(default_factory=list)
     max_frames: int = 0
     t_start: float = 0.0
+    t_queue_ms: float = 0.0    # submit -> admission wall time
     on_audio: Callable[[np.ndarray, bool], None] | None = None
     final_sent: bool = False   # a final=True on_audio callback fired
     error: str = ""
@@ -74,7 +75,7 @@ class ContinuousBatcher:
         self.cfg = cfg
         self.slots = [_Slot() for _ in range(n_slots)]
         self._queue: list[tuple[int, str, np.ndarray | None,
-                                Callable | None]] = []
+                                Callable | None, float]] = []
         self._next_id = 0
         self._results: dict[int, TTSResult] = {}
         self._failed: dict[int, TTSResult] = {}
@@ -326,7 +327,8 @@ class ContinuousBatcher:
         request can never corrupt live streams from the submit path."""
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, text, embedding, on_audio))
+        self._queue.append((rid, text, embedding, on_audio,
+                            time.monotonic()))
         return rid
 
     def pending(self) -> bool:
@@ -357,7 +359,7 @@ class ContinuousBatcher:
                         raise ValueError(
                             f"speaker embedding shape {emb.shape} != "
                             f"({hidden},)")
-                    item = (item[0], item[1], emb, item[3])
+                    item = (item[0], item[1], emb, item[3], item[4])
                 token_lists.append(toks)
                 batch.append(item)
             except Exception as e:
@@ -396,12 +398,14 @@ class ContinuousBatcher:
         self.state, self.consts = self._admit_fn(slots_j, prefill)(
             self.engine.talker_w, self.state, self.consts, slots_j,
             prefill)
+        t_admit = time.monotonic()
         for j in range(take):
-            rid, _, _, on_audio = batch[j]
+            rid, _, _, on_audio, t_submit = batch[j]
             self.slots[slot_ids[j]] = _Slot(
                 busy=True, request_id=rid, max_frames=self.max_frames,
                 buf=np.empty((self.max_frames, cfg.n_codebooks), np.int32),
-                t_start=time.monotonic(), on_audio=on_audio)
+                t_start=t_admit, on_audio=on_audio,
+                t_queue_ms=(t_admit - t_submit) * 1e3)
 
     # ------------------------------------------------------------------
     def _dispatch_chunk(self) -> None:
@@ -663,6 +667,7 @@ class ContinuousBatcher:
         elif not r.success:
             r.error_msg = "No speech codes generated"
         r.t_total_ms = (time.monotonic() - slot.t_start) * 1e3
+        r.t_queue_ms = slot.t_queue_ms
         return r
 
     def run_all(self) -> dict[int, TTSResult]:

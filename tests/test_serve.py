@@ -254,7 +254,11 @@ def test_aot_artifacts_reload_across_batchers(engine, tmp_path, monkeypatch):
     names = {p.name.split("-")[0] for p in arts}
     assert "gen" in names and "admit" in names and "voc" in names
 
-    # second batcher: same dir -> loads, never compiles anew
+    # second batcher: same dir, FRESH AotCache (a fresh cache instance
+    # models a new process — the in-process memo on the first instance
+    # would otherwise serve live executables without touching disk)
+    # -> loads, never compiles anew
+    monkeypatch.setattr(engine, "_aot_cache", AotCache(tmp_path), raising=False)
     monkeypatch.setattr(engine, "_voc_execs", {}, raising=False)
     loads = []
     orig_load = AotCache.load
@@ -322,3 +326,25 @@ def test_continuous_honors_max_audio_tokens(engine):
     rid = cb.submit("hello world.")
     res = cb.run_all()[rid]
     assert res.success and res.n_frames <= 6
+
+
+def test_queue_wait_recorded(engine):
+    """t_queue_ms: ~0 for requests admitted straight into free slots,
+    positive for requests that waited behind a full batcher (TTFA
+    accounting in tools/bench_serve.py builds on this split)."""
+    cb = ContinuousBatcher(engine, n_slots=2, params=_params(), max_frames=8)
+    first = [cb.submit("hello world.") for _ in range(2)]
+    queued = [cb.submit("hello world.") for _ in range(2)]
+    results = cb.run_all()
+    assert all(results[r].success for r in first + queued)
+    for r in first:
+        # admitted by the first step(); queue wait is submit->admission
+        # host time only (no generation ran in between)
+        assert results[r].t_queue_ms >= 0.0
+    for r in queued:
+        # had to wait for the first wave to finish at least one full
+        # request (8 frames of generation + decode)
+        assert results[r].t_queue_ms > results[first[0]].t_queue_ms
+        assert results[r].t_queue_ms > 50.0
+    # client-observed latency decomposes: both parts populated
+    assert results[queued[0]].t_total_ms > 0.0

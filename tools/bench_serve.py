@@ -99,16 +99,37 @@ def main():
     cb.run_all()
     log(f"warmup (compiles): {time.monotonic()-t0:.1f}s")
 
+    # Time-to-first-audio instrumentation: every request gets an
+    # on_audio callback that stamps the wall time of its FIRST decoded
+    # chunk. TTFA is reported from ADMISSION (first_audio - submit -
+    # queue wait) — the service-level metric a server controls under
+    # deliberate oversubscription — alongside the from-submit number
+    # and the queue wait itself. Target (VERDICT r3): admitted TTFA
+    # <= 2x the 40-frame chunk duration.
+    class FirstAudioStamp:
+        t: float | None = None
+
+        def __call__(self, samples, final):
+            if self.t is None and len(samples):
+                self.t = time.monotonic()
+
+    submit_t: dict[int, float] = {}
+    stamps: dict[int, FirstAudioStamp] = {}
     for i in range(args.requests):
-        cb.submit(f"request number {i}")
+        stamp = FirstAudioStamp()
+        t_sub = time.monotonic()
+        rid = cb.submit(f"request number {i}", on_audio=stamp)
+        submit_t[rid] = t_sub
+        stamps[rid] = stamp
 
     t0 = time.monotonic()
     lat = []
+    ttfa_submit, ttfa_admit, queue_wait = [], [], []
     total_audio = 0.0
     n_done = 0
     n_failed = 0
     while cb.pending():
-        for r in cb.step().values():
+        for rid, r in cb.step().items():
             if not r.success:
                 # failure isolation returns error results instead of
                 # raising; counting them as served would silently
@@ -117,6 +138,12 @@ def main():
                 log(f"request FAILED: {r.error_msg}")
                 continue
             lat.append(r.t_total_ms)
+            stamp = stamps.get(rid)
+            if stamp is not None and stamp.t is not None:
+                from_submit = (stamp.t - submit_t[rid]) * 1e3
+                ttfa_submit.append(from_submit)
+                ttfa_admit.append(from_submit - r.t_queue_ms)
+                queue_wait.append(r.t_queue_ms)
             total_audio += len(r.audio) / r.sample_rate
             n_done += 1
     wall = time.monotonic() - t0
@@ -133,12 +160,32 @@ def main():
         f"-> {total_audio / wall:.1f}x realtime aggregate")
     log(f"request latency ms: p50={np.percentile(lat,50):.0f} "
         f"p90={np.percentile(lat,90):.0f} max={lat.max():.0f}")
+    ttfa_p50 = ttfa_p99 = -1.0
+    if ttfa_admit:
+        ta = np.asarray(ttfa_admit)
+        ts = np.asarray(ttfa_submit)
+        qw = np.asarray(queue_wait)
+        ttfa_p50 = float(np.percentile(ta, 50))
+        ttfa_p99 = float(np.percentile(ta, 99))
+        # 40 frames @ 12.5 Hz = 3.2 s of audio per chunk
+        chunk_ms = 40 / 12.5 * 1e3
+        target = 2 * chunk_ms
+        verdict = "MET" if ttfa_p99 <= target else "MISSED"
+        log(f"ttfa (admitted) ms: p50={ttfa_p50:.0f} p99={ttfa_p99:.0f} "
+            f"max={ta.max():.0f}  [target p99<={target:.0f} {verdict}]")
+        log(f"ttfa (from submit) ms: p50={np.percentile(ts,50):.0f} "
+            f"p99={np.percentile(ts,99):.0f}")
+        log(f"queue wait ms: p50={np.percentile(qw,50):.0f} "
+            f"p99={np.percentile(qw,99):.0f} max={qw.max():.0f} "
+            f"({len(ta)}/{n_done} requests measured)")
     import json
     print(json.dumps({
         "metric": f"aggregate_realtime_x_slots{args.slots}",
         "value": round(total_audio / wall, 2),
         "unit": "x_realtime",
         "vs_baseline": round(total_audio / wall / 1.01, 2),
+        "ttfa_p50_ms": round(ttfa_p50, 1),
+        "ttfa_p99_ms": round(ttfa_p99, 1),
     }))
 
 
