@@ -515,14 +515,30 @@ def vocoder_decode_subbatched(w, cfg: VocoderConfig, codes: jax.Array,
     if B <= sub:
         return _decode_impl(w, cfg, codes, trim, pcm16)
     assert B % sub == 0, f"batch {B} not a multiple of sub {sub}"
-    groups = codes.reshape(B // sub, sub, F, C)
+    # FRONT (vq + pre-transformer + ConvNeXt upsample + dec0) runs once
+    # over the WHOLE batch: its activations are small ([B, 4F, 1536] f32
+    # peaks ~190 MB at B=192/F=40 — nothing next to the 1.4 GB tail
+    # buffers), and at sub-batch width its ops are far too skinny for the
+    # MXU — the per-op XLA passes repeated B/sub sequential times were
+    # the last un-fused 6.8 ms/chunk of the decode. Only the tail
+    # (decoder convT blocks, 160 -> 76,800 samples) needs lax.map's
+    # activation bound.
+    x = _front_impl(w, cfg, codes)
+    groups = x.reshape(B // sub, sub, *x.shape[1:])
     out = jax.lax.map(
-        lambda c: _decode_impl(w, cfg, c, trim, pcm16), groups)
+        lambda g: _tail_impl(w, cfg, g, trim, pcm16), groups)
     return out.reshape(B, out.shape[-1])
 
 
 def _decode_impl(w, cfg: VocoderConfig, codes: jax.Array,
                  trim: str, pcm16: bool) -> jax.Array:
+    return _tail_impl(w, cfg, _front_impl(w, cfg, codes), trim, pcm16)
+
+
+def _front_impl(w, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
+    """vq dequant + pre-transformer + ConvNeXt upsample + dec0:
+    codes [B, F, 16] -> latent [B, 4F(+pad), decoder_dim]. Activations
+    stay small (T <= 4F+2); batch-wide execution is the fast path."""
     B, F, _ = codes.shape
     x = vq_dequantize(w, cfg, codes)                        # [B, F, 512]
     x = causal_conv1d(x, w["pre_conv_w"], w["pre_conv_b"])  # [B, F, 1024]
@@ -543,8 +559,14 @@ def _decode_impl(w, cfg: VocoderConfig, codes: jax.Array,
     for up_w in w["upsample"]:
         x = _upsample_block(up_w, x)                        # [B, 4F(+pad), 1024]
 
-    x = causal_conv1d(x, w["dec0_w"], w["dec0_b"])          # -> decoder_dim
+    return causal_conv1d(x, w["dec0_w"], w["dec0_b"])       # -> decoder_dim
 
+
+def _tail_impl(w, cfg: VocoderConfig, x: jax.Array,
+               trim: str, pcm16: bool) -> jax.Array:
+    """Decoder convT blocks + final snake/conv/tanh: latent
+    [B, T, decoder_dim] -> audio [B, T*480] — the memory-heavy stage
+    (76,800-sample tail buffers); sub-batched by the callers."""
     for blk_w, rate in zip(w["dec_blocks"], cfg.upsample_rates):
         x = _decoder_block(blk_w, x, rate, trim)
 

@@ -206,4 +206,8 @@ def test_subbatched_decode_matches(voc):
     base16 = vocoder.vocoder_decode(w, cfg, codes, trim="causal",
                                     pcm16=True)
     assert p16.dtype == jnp.int16
-    np.testing.assert_array_equal(np.asarray(p16), np.asarray(base16))
+    # +-1 LSB: the subbatched path runs the front at full batch width,
+    # so XLA tiling may differ from the whole-batch decode in the f32
+    # LSBs, which can flip an int16 rounding at the quantization edge
+    diff = np.abs(np.asarray(p16, np.int32) - np.asarray(base16, np.int32))
+    assert diff.max() <= 1, f"pcm16 differs by {diff.max()} LSB"

@@ -30,6 +30,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # honor JAX_PLATFORMS=cpu (sitecustomize pre-imports jax with the
+    # axon platform; the env var alone is too late to avoid the tunnel)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp

@@ -26,9 +26,20 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--serving-batch", type=int, default=192,
+                    help="batch for the subbatched-decode A/B section "
+                         "(0 disables)")
+    ap.add_argument("--serving-sub", type=int, default=16)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims: CPU-runnable flow check only")
     args = ap.parse_args()
 
     import jax
+    # honor JAX_PLATFORMS=cpu (sitecustomize pre-imports jax with the
+    # axon platform; the env var alone is too late to avoid the tunnel)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -41,10 +52,13 @@ def main():
         cast_weights, snake, vq_dequantize)
 
     B, F = args.batch, args.frames
-    cfg = VocoderConfig()
+    if args.tiny:
+        import dataclasses
+        cfg = dataclasses.replace(vocoder.tiny_vocoder_config(),
+                                  codebook_size=2048)
+    else:
+        cfg = VocoderConfig()
     rng = np.random.default_rng(0)
-    w = vocoder.init_vocoder_weights(rng, cfg) if cfg.hidden_dim else None
-    # real dims init (init_vocoder_weights works for any config)
     w = cast_weights(jax.device_put(vocoder.init_vocoder_weights(rng, cfg)))
     codes = jnp.asarray(rng.integers(0, cfg.codebook_size, (B, F, 16)),
                         jnp.int32)
@@ -102,6 +116,57 @@ def main():
                  lambda w, c: front(w, c, len(cfg.upsample_rates), True))
     log(f"  -> stage cost {cur - prev:9.2f} ms")
     log(f"per frame: {cur / F:.3f} ms (B={B})")
+
+    # ------------------------------------------------------------------
+    # Subbatched-decode A/B at serving scale: front-once (production,
+    # vocoder_decode_subbatched runs vq+pretfm+upsample+dec0 over the
+    # WHOLE batch, lax.map only over the decoder tail) vs the round-3
+    # layout that mapped the ENTIRE pipeline per sub-batch (emulated
+    # here), which repeated the skinny front ops B/sub sequential times.
+    if args.serving_batch:
+        from qwen3_tts_tpu.models.vocoder import (_decode_impl,
+                                                  _front_impl, _tail_impl)
+        SB, sub = args.serving_batch, args.serving_sub
+        codes_sb = jnp.asarray(
+            rng.integers(0, cfg.codebook_size, (SB, F, 16)), jnp.int32)
+        log(f"--- subbatched decode A/B: B={SB} sub={sub} F={F} ---")
+
+        def timeit_sb(name, fn):
+            f = jax.jit(fn)
+            out = f(w, codes_sb)
+            jax.device_get(out.ravel()[0])
+            t0 = time.monotonic()
+            for _ in range(args.reps):
+                out = f(w, codes_sb)
+            jax.device_get(out.ravel()[0])
+            ms = (time.monotonic() - t0) / args.reps * 1e3
+            log(f"{name:<38} {ms:9.2f} ms/chunk "
+                f"({ms / F:.3f} ms/frame at B={SB})")
+            return ms
+
+        def whole_pipeline_mapped(w, c):       # round-3 layout
+            groups = c.reshape(SB // sub, sub, F, 16)
+            out = jax.lax.map(
+                lambda g: _decode_impl(w, cfg, g, "causal", False), groups)
+            return out.reshape(SB, out.shape[-1])
+
+        def front_once(w, c):                  # production layout
+            return vocoder.vocoder_decode_subbatched(
+                w, cfg, c, trim="causal", sub=sub)
+
+        def front_only_whole(w, c):
+            return _front_impl(w, cfg, c)
+
+        def front_only_mapped(w, c):
+            groups = c.reshape(SB // sub, sub, F, 16)
+            return jax.lax.map(lambda g: _front_impl(w, cfg, g), groups)
+
+        timeit_sb("front only, whole-batch", front_only_whole)
+        timeit_sb("front only, mapped per sub", front_only_mapped)
+        t_new = timeit_sb("e2e front-once (production)", front_once)
+        t_old = timeit_sb("e2e whole-pipeline-mapped (r3)",
+                          whole_pipeline_mapped)
+        log(f"front-once speedup: {t_old / t_new:.2f}x")
 
 
 if __name__ == "__main__":
