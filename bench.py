@@ -63,13 +63,16 @@ def voc_sub_for(B: int) -> int:
     return 4
 
 
-def measure_entry(*, B: int, kv: str, cache: str | None, args, cfg, w,
+def measure_entry(*, B: int, kv: str, cache: str | None,
+                  talker_impl: str | None, args, cfg, w,
                   vcfg, vw, aot, jax, jnp, np) -> dict:
-    """Measure one (batch, kv-dtype, cache-layout) config; returns the
-    JSON record. Weights are shared across ladder entries."""
+    """Measure one (batch, kv-dtype, cache-layout, talker-impl) config;
+    returns the JSON record. Weights are shared across ladder entries."""
     import os
 
     from qwen3_tts_tpu.models import talker, vocoder
+    from qwen3_tts_tpu.models.code_predictor import \
+        _resolve_impl as cp_impl
     from qwen3_tts_tpu.runtime.generate import (
         ctx_bucket, generate_chunk, init_state, kv_layered_enabled,
         kv_quant_enabled, make_consts, required_ctx)
@@ -77,7 +80,9 @@ def measure_entry(*, B: int, kv: str, cache: str | None, args, cfg, w,
     os.environ["QWEN3_TTS_KV"] = kv      # read dynamically downstream
     if cache is not None:
         os.environ["QWEN3_TTS_CACHE"] = cache
+    talker.set_talker_step_impl(talker_impl)
     layout = "layered" if kv_layered_enabled() else "stacked"
+    tk = talker._resolve_impl()
 
     def sync(x):
         # block_until_ready is unreliable on the experimental axon
@@ -120,8 +125,11 @@ def measure_entry(*, B: int, kv: str, cache: str | None, args, cfg, w,
     def gen_fn(rc: int):
         fn = gen_execs.get(rc)
         if fn is None:
+            # impl switches are trace-time state baked into the
+            # executable: key them so a cached artifact can never carry
+            # a different talker/codepred kernel than this entry selects
             name = (f"bench-gen-b{B}-c{ctx}-rc{rc}-kv{kv}-cl{layout}"
-                    f"-k50-g{int(greedy)}")
+                    f"-k50-g{int(greedy)}-tk{tk}-cp{cp_impl()}")
             fn = aot.get_or_compile(
                 name, generate_chunk, w, cfg, state, consts, 50, CHUNK,
                 greedy=greedy, read_ctx=rc, lockstep=True,
@@ -315,6 +323,7 @@ def measure_entry(*, B: int, kv: str, cache: str | None, args, cfg, w,
         "voc_impl": voc_impl,
         "kv": kv,
         "cache_layout": layout,
+        "talker_impl": tk,
         "gen_ms_per_frame": round(gen_ms_per_batchframe, 2),
         "voc_ms_per_frame": round(voc_ms_per_batchframe, 2),
         "total_ms_per_frame": round(total_ms_per_batchframe, 2),
@@ -342,13 +351,20 @@ def main() -> None:
                          "buffers, avoids XLA slice-copy of the stacked "
                          "[L,...] array; default = QWEN3_TTS_CACHE env "
                          "or stacked)")
+    ap.add_argument("--talker", choices=("auto", "xla", "fused"),
+                    default=None,
+                    help="talker decode-step impl (fused = the 28-layer "
+                         "Pallas megakernel, ops/talker_fused.py; default "
+                         "= QWEN3_TTS_TALKER env or auto, which currently "
+                         "resolves to xla pending the on-chip A/B)")
     ap.add_argument("--ladder", type=str, default=None,
-                    help="comma-separated B:kv:cache entries measured in "
-                         "ONE process (weights+backend init paid once), "
-                         "e.g. 192:int8:layered,256:int8:layered. One "
+                    help="comma-separated B:kv:cache[:talker] entries "
+                         "measured in ONE process (weights+backend init "
+                         "paid once), e.g. "
+                         "192:int8:layered,192:int8:stacked:fused. One "
                          "JSON line per entry, printed as each completes "
                          "(an OOM at a later rung keeps earlier lines). "
-                         "Overrides --batch/--kv/--cache.")
+                         "Overrides --batch/--kv/--cache/--talker.")
     ap.add_argument("--chunks", type=int, default=3,
                     help="measured generation chunks per run (>=1)")
     ap.add_argument("--runs", type=int, default=3,
@@ -371,17 +387,20 @@ def main() -> None:
     if args.chunks < 1:
         ap.error("--chunks must be >= 1")
 
-    entries: list[tuple[int, str, str | None]] = []
+    entries: list[tuple[int, str, str | None, str | None]] = []
     if args.ladder:
         for spec in args.ladder.split(","):
             parts = spec.strip().split(":")
-            if len(parts) != 3 or parts[1] not in ("int8", "bf16") \
-                    or parts[2] not in ("stacked", "layered"):
-                ap.error(f"bad --ladder entry {spec!r} "
-                         "(want B:int8|bf16:stacked|layered)")
-            entries.append((int(parts[0]), parts[1], parts[2]))
+            if len(parts) not in (3, 4) or parts[1] not in ("int8", "bf16") \
+                    or parts[2] not in ("stacked", "layered") \
+                    or (len(parts) == 4
+                        and parts[3] not in ("auto", "xla", "fused")):
+                ap.error(f"bad --ladder entry {spec!r} (want "
+                         "B:int8|bf16:stacked|layered[:auto|xla|fused])")
+            entries.append((int(parts[0]), parts[1], parts[2],
+                            parts[3] if len(parts) == 4 else args.talker))
     else:
-        entries.append((args.batch, args.kv, args.cache))
+        entries.append((args.batch, args.kv, args.cache, args.talker))
 
     import os
 
@@ -458,11 +477,12 @@ def main() -> None:
     vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
     vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
 
-    for i, (B, kv, cache) in enumerate(entries):
+    for i, (B, kv, cache, tk) in enumerate(entries):
         if len(entries) > 1:
             log(f"--- ladder entry {i+1}/{len(entries)}: "
-                f"B={B} kv={kv} cache={cache} ---")
-        rec = measure_entry(B=B, kv=kv, cache=cache, args=args, cfg=cfg,
+                f"B={B} kv={kv} cache={cache} talker={tk} ---")
+        rec = measure_entry(B=B, kv=kv, cache=cache, talker_impl=tk,
+                            args=args, cfg=cfg,
                             w=w, vcfg=vcfg, vw=vw, aot=aot, jax=jax,
                             jnp=jnp, np=np)
         print(json.dumps(rec), flush=True)

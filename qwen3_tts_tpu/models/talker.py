@@ -174,6 +174,33 @@ def talker_prefill(w, cfg: TalkerConfig, prefill_embd: jax.Array,
     return h, logits, kv_cache
 
 
+# Talker decode-step implementation switch (mirrors
+# models/code_predictor._resolve_impl). Unlike codepred, "auto" resolves
+# to the XLA stack_step for now: the fused megakernel
+# (ops/talker_fused.py) is interpret-verified but its compiled-Mosaic
+# parity + perf on chip are unmeasured — tools/r4_measure.sh A/Bs it via
+# QWEN3_TTS_TALKER=fused; flip this default only on a measured win.
+_IMPL = None
+_IMPL_VALID = (None, "auto", "fused", "fused_interpret", "xla")
+
+
+def set_talker_step_impl(impl: str | None) -> None:
+    """TRACE-TIME switch: jitted callers bake the impl into compiled
+    executables; set before the first decode (or use QWEN3_TTS_TALKER)."""
+    global _IMPL
+    if impl not in _IMPL_VALID:
+        raise ValueError(f"impl must be one of {_IMPL_VALID}")
+    _IMPL = impl
+
+
+def _resolve_impl() -> str:
+    if _IMPL is not None:
+        return _IMPL
+    import os
+    impl = os.environ.get("QWEN3_TTS_TALKER", "auto")
+    return impl if impl in _IMPL_VALID else "auto"
+
+
 def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
                 kv_cache: jax.Array, n_past: jax.Array,
                 read_ctx: int | None = None,
@@ -199,6 +226,33 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
     else:
         positions = jnp.full((B,), n_past, jnp.int32)
     n_valid = positions + 1
+
+    # Fused decode-step megakernel dispatch (ops/talker_fused.py): one
+    # Pallas program for all 28 layers, the TPU mirror of the
+    # reference's single step graph enqueue (tts_transformer.cpp:
+    # 1376-1512 built once, executed per frame).
+    impl = _resolve_impl()
+    if impl in ("fused", "fused_interpret"):
+        from ..ops import talker_fused
+        widx = write_idx if write_idx is not None else n_past
+        if not talker_fused.supported(cfg, B, w, kv_cache, widx,
+                                      valid_mask, read_ctx):
+            raise ValueError(
+                "QWEN3_TTS_TALKER=fused but the fused kernel does not "
+                "support this config/batch/cache (see talker_fused"
+                ".supported)")
+        y, new_cache = talker_fused.talker_step_fused(
+            w["layers"], step_embd, positions, kv_cache,
+            jnp.asarray(widx, jnp.int32), n_valid,
+            n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
+            head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
+            theta=cfg.rope_theta, read_ctx=read_ctx,
+            interpret=(impl == "fused_interpret"))
+        h = rms_norm(y, w["output_norm"], cfg.rms_norm_eps)
+        logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],
+                         preferred_element_type=jnp.float32)
+        return h, logits, new_cache
+
     y, kv_cache = stack_step(
         w["layers"], step_embd, positions, kv_cache,
         write_idx if write_idx is not None else n_past, n_valid,

@@ -229,13 +229,19 @@ class ContinuousBatcher:
 
     # -- AOT-cached executables ----------------------------------------
     def _key_base(self) -> str:
+        from ..models import talker
+        from ..models.code_predictor import _resolve_impl as cp_impl
         from .generate import kv_layered_enabled, kv_quant_enabled
         mesh = getattr(self.engine, "mesh", None)
         mtag = (f"-m{mesh.shape.get('dp', 1)}x{mesh.shape.get('tp', 1)}"
                 if mesh is not None else "")
+        # impl switches are trace-time state baked into the executable;
+        # key them so a cached artifact can never carry a different
+        # talker/codepred kernel than the current env selects
+        itag = f"-tk{talker._resolve_impl()}-cp{cp_impl()}"
         return (f"{self.engine.model_tag()}-b{self.n_slots}-c{self.ctx}"
                 f"-q{int(kv_quant_enabled())}"
-                f"-l{int(kv_layered_enabled())}{mtag}")
+                f"-l{int(kv_layered_enabled())}{mtag}{itag}")
 
     def _gen_fn(self, read_ctx: int):
         """Compiled generation-chunk executable for one read-ctx bucket.

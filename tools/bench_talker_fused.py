@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""A/B the talker decode-step megakernel (ops/talker_fused.py) against
+the XLA stack_step on the real chip, at serving shapes.
+
+Runs the step L_REPS times inside ONE jit (scan feeding a slice of the
+output back) so per-dispatch tunnel overhead doesn't drown the kernel —
+the real usage is inside generate_chunk's compiled scan.
+
+--parity: compiled-Mosaic numerics vs the XLA path at the bench shape
+(the interpret-mode tests cover CPU; this is the on-chip gate for
+flipping QWEN3_TTS_TALKER=auto to the kernel).
+
+Usage: python tools/bench_talker_fused.py [--batch 192] [--kv int8]
+           [--read-ctx 512] [--iters 20] [--parity]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=192)
+    ap.add_argument("--kv", choices=("bf16", "int8"), default="int8")
+    ap.add_argument("--read-ctx", type=int, default=512)
+    ap.add_argument("--ctx", type=int, default=1152,
+                    help="padded cache length S (serving ring size)")
+    ap.add_argument("--iters", type=int, default=20,
+                    help="steps per timed jit (scan length)")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--compile-retries", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    # honor JAX_PLATFORMS=cpu (sitecustomize pre-imports jax with the
+    # axon platform; the env var alone is too late to avoid the tunnel)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu.config import TalkerConfig
+    from qwen3_tts_tpu.models.stack import (QuantKV, init_kv_cache,
+                                            quantize_kv_rows, stack_step)
+    from qwen3_tts_tpu.models.weights import init_talker_weights_device
+    from qwen3_tts_tpu.ops import talker_fused
+
+    cfg = TalkerConfig()
+    B, S, rc = args.batch, args.ctx, args.read_ctx
+    quant = args.kv == "int8"
+
+    t0 = time.monotonic()
+    w = init_talker_weights_device(jax.random.PRNGKey(0), cfg)
+    lw = w["layers"]
+    jax.device_get(jax.tree.leaves(lw)[0].ravel()[:1])
+    log(f"weights on device ({time.monotonic()-t0:.1f}s)")
+
+    ok = talker_fused.supported(
+        cfg, B, w, init_kv_cache(cfg.n_layers, 1, 128,
+                                 cfg.n_key_value_heads, cfg.head_dim,
+                                 quant=quant), jnp.int32(0), None, 128)
+    log(f"supported(geometry/weights): {ok}")
+
+    # random-but-plausible cache (both impls read identical rows)
+    key = jax.random.PRNGKey(1)
+    vals = jax.random.normal(
+        key, (cfg.n_layers, 2, B, cfg.n_key_value_heads, S, cfg.head_dim),
+        jnp.float32) * 0.5
+    if quant:
+        q, s = quantize_kv_rows(vals)
+        cache = QuantKV(q, s)
+    else:
+        cache = vals.astype(jnp.bfloat16)
+    del vals
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.hidden_size),
+                           jnp.float32)
+    widx = jnp.int32(rc - 8)
+    positions = jnp.full((B,), rc - 8, jnp.int32)
+    n_valid = positions + 1
+    kw = dict(n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
+              head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
+              theta=cfg.rope_theta, read_ctx=rc)
+
+    def chain(step_fn):
+        @jax.jit
+        def run(x, cache):
+            def body(carry, _):
+                xc, cc = carry
+                y, cc = step_fn(xc, cc)
+                # feed output back so scan iterations can't collapse;
+                # normalize so the chain can't blow up over iters
+                xn = y / jnp.maximum(
+                    jnp.sqrt(jnp.mean(y * y, axis=1, keepdims=True)), 1e-3)
+                return (xn, cc), None
+            (xo, co), _ = jax.lax.scan(body, (x, cache), None,
+                                       length=args.iters)
+            return xo, co
+        return run
+
+    def xla_step(x, c):
+        return stack_step(lw, x, positions, c, widx, n_valid, **kw)
+
+    def fused_step(x, c):
+        return talker_fused.talker_step_fused(
+            lw, x, positions, c, widx, n_valid, **kw)
+
+    def sync(t):
+        jax.device_get(jax.tree.leaves(t)[0].ravel()[:1])
+
+    def timeit(name, fn, x, cache):
+        for attempt in range(args.compile_retries):
+            try:
+                out = fn(x, cache)
+                sync(out)
+                break
+            except Exception as e:
+                if attempt == args.compile_retries - 1:
+                    raise
+                log(f"{name} compile attempt {attempt+1} failed: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                time.sleep(2.0)
+        best = []
+        for _ in range(args.reps):
+            t0 = time.monotonic()
+            out = fn(x, cache)
+            sync(out)
+            best.append((time.monotonic() - t0) / args.iters * 1e3)
+        ms = float(np.median(best))
+        log(f"{name:<28} {ms:8.3f} ms/step (B={B}, rc={rc}, {args.kv})")
+        return ms, out
+
+    if args.parity:
+        y_x, _ = xla_step(x0, cache)
+        y_f, _ = talker_fused.talker_step_fused(
+            lw, x0, positions, cache, widx, n_valid, **kw)
+        a, b = np.asarray(y_x), np.asarray(y_f)
+        scale = np.abs(a).max()
+        rel = np.abs(a - b).max() / max(scale, 1e-9)
+        log(f"parity: max|y_xla|={scale:.3f} relative-max-diff={rel:.2e}")
+        verdict = "PASS" if rel < 1e-2 else "FAIL"
+        log(f"compiled-Mosaic parity: {verdict}")
+        import json
+        print(json.dumps({"metric": "talker_fused_parity_reldiff",
+                          "value": float(rel), "unit": "rel",
+                          "vs_baseline": 1.0,
+                          "pass": bool(rel < 1e-2)}))
+        if verdict == "FAIL":
+            sys.exit(1)
+
+    ms_x, _ = timeit("xla stack_step", chain(xla_step), x0, cache)
+    ms_f, _ = timeit("fused megakernel", chain(fused_step), x0, cache)
+    log(f"speedup: {ms_x / ms_f:.2f}x")
+    import json
+    print(json.dumps({
+        "metric": f"talker_step_ms_b{B}_rc{rc}_{args.kv}",
+        "value": round(ms_f, 3), "unit": "ms",
+        "vs_baseline": round(ms_x / ms_f, 2),
+        "xla_ms": round(ms_x, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,14 @@ timeout 1800 python -u tools/bench_vocoder_fused.py --batch 48 --parity \
 timeout 1800 python -u tools/bench_codepred.py --parity \
     2>&1 | tee /tmp/r4_cpparity.log
 
+# 3b. talker decode-step megakernel: compiled parity + step-level A/B
+# vs the XLA stack_step (decides QWEN3_TTS_TALKER default), then an e2e
+# rung at the bench level if the step A/B wins
+timeout 2400 python -u tools/bench_talker_fused.py --batch 192 --kv int8 \
+    --read-ctx 512 --parity 2>&1 | tee /tmp/r4_tkfused.log
+timeout 2400 python -u bench.py --batch 192 --kv int8 --cache stacked \
+    --talker fused 2>&1 | tee /tmp/r4_b192_s8_tkfused.log
+
 # 4. vocoder front restructure A/B (front-once vs r3 whole-pipeline map)
 timeout 2400 python -u tools/bench_vocoder_stages.py --batch 48 \
     --serving-batch 192 --serving-sub 16 2>&1 | tee /tmp/r4_vocstages.log
