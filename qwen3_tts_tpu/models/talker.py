@@ -241,12 +241,17 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
                 "QWEN3_TTS_TALKER=fused but the fused kernel does not "
                 "support this config/batch/cache (see talker_fused"
                 ".supported)")
+        # Ring lifetime windows (window_lo/hi) are a flash-kernel
+        # block-skipping hint only; the bitmask is exact, so the fused
+        # kernel ignores them (it reads every block under read_ctx,
+        # like the XLA einsum path).
         y, new_cache = talker_fused.talker_step_fused(
             w["layers"], step_embd, positions, kv_cache,
             jnp.asarray(widx, jnp.int32), n_valid,
             n_heads=cfg.n_attention_heads, n_kv=cfg.n_key_value_heads,
             head_dim=cfg.head_dim, eps=cfg.rms_norm_eps,
             theta=cfg.rope_theta, read_ctx=read_ctx,
+            valid_mask=valid_mask,
             interpret=(impl == "fused_interpret"))
         h = rms_norm(y, w["output_norm"], cfg.rms_norm_eps)
         logits = jnp.dot(h.astype(w["codec_head"].dtype), w["codec_head"],

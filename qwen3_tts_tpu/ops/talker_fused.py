@@ -109,11 +109,14 @@ def supported(cfg, B: int, w, kv_cache, write_idx, valid_mask,
         lw[name].dtype == jnp.bfloat16
         for name in ("wqkv", "wo", "w_gu", "w_down"))
     rc = S if read_ctx is None else read_ctx
+    mask_ok = valid_mask is None or (
+        getattr(valid_mask, "ndim", 0) == 2
+        and valid_mask.shape[1] == S)                # ring bitmask mode
     return (
         _geometry_ok(cfg)
         and streamed_bf16
-        and valid_mask is None                       # prefix mode only
-        and getattr(write_idx, "ndim", 0) == 0       # lock-step slot
+        and mask_ok
+        and getattr(write_idx, "ndim", 0) == 0       # shared write slot
         and B % _tb_for(B) == 0
         and S % BLOCK_S == 0 and rc % BLOCK_S == 0 and rc <= S
         and vmem_bytes(cfg, B, quant) < 100 * 1024 * 1024
@@ -132,7 +135,8 @@ def _rope_rows(positions: jax.Array, D: int, theta: float):
 
 
 def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
-                 D: int, eps: float, n_blocks: int, quant: bool):
+                 D: int, eps: float, n_blocks: int, quant: bool,
+                 masked: bool):
     """Kernel body builder. Layers run in a fori_loop (dynamic l); the
     16 weight tiles, B//TB stream tiles and n_blocks seq blocks per layer
     are python-unrolled (static structure, required for the DMA ring)."""
@@ -142,8 +146,8 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
     n_tiles = B // TB
     E = n_tiles * n_blocks        # KV fetch entries per layer
 
-    def kernel(x_ref, rope_c_ref, rope_s_ref, n_valid_ref, widx_ref,
-               wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+    def kernel(x_ref, rope_c_ref, rope_s_ref, val_ref, live_ref,
+               widx_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
                attn_norm_ref, ffn_norm_ref, q_norm_ref, k_norm_ref,
                # cache refs (values [+ scales]) duplicated as outputs via
                # input_output_aliases; only the input refs are touched
@@ -339,7 +343,9 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                 qd = jnp.concatenate(qd_parts, axis=1).astype(
                     jnp.bfloat16)                            # [TB, NH, H]
 
-                nv = n_valid_ref[b0:b0 + TB, :]              # [TB, 1] i32
+                if not masked:
+                    nv = val_ref[b0:b0 + TB, :]              # [TB, 1] i32
+                live = live_ref[b0:b0 + TB, :] != 0          # [TB, 1]
                 m = jnp.full((TB, 1, NH), NEG, jnp.float32)
                 lsum = jnp.zeros((TB, 1, NH), jnp.float32)
                 acc = jnp.zeros((TB, NH, D), jnp.float32)
@@ -358,9 +364,17 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                             [jnp.broadcast_to(
                                 kσt[:, h, :, None], (TB, BLOCK_S, G))
                              for h in range(NKV)], axis=2)
-                    s_iota = (blk * BLOCK_S + jax.lax.broadcasted_iota(
-                        jnp.int32, (TB, BLOCK_S), 1))
-                    mrow = (s_iota < nv) & (s_iota != widx)  # [TB, bs]
+                    if masked:
+                        # ring-slot bitmask; the wrapper already cleared
+                        # bit widx (current row handled analytically)
+                        mrow = val_ref[b0:b0 + TB,
+                                       blk * BLOCK_S:
+                                       (blk + 1) * BLOCK_S] != 0
+                    else:
+                        s_iota = (blk * BLOCK_S
+                                  + jax.lax.broadcasted_iota(
+                                      jnp.int32, (TB, BLOCK_S), 1))
+                        mrow = (s_iota < nv) & (s_iota != widx)
                     sc = jnp.where(mrow[:, :, None], sc, NEG)
                     m_new = jnp.maximum(
                         m, jnp.max(sc, axis=1, keepdims=True))
@@ -396,7 +410,6 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                     [jnp.sum(qt[:, h * G:(h + 1) * G, :]
                              * k3t[:, h:h + 1, :], axis=2)
                      for h in range(NKV)], axis=1)           # [TB, NH]
-                live = (nv > widx)                           # [TB, 1]
                 sc_cur = jnp.where(live, sc_cur, NEG)[:, None, :]
                 m_new = jnp.maximum(m, sc_cur)
                 p_cur = jnp.where(live[:, None], jnp.exp(sc_cur - m_new),
@@ -467,10 +480,12 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
-                eps: float, read_ctx: int, quant: bool, interpret: bool):
+                eps: float, read_ctx: int, quant: bool, masked: bool,
+                interpret: bool):
     n_blocks = read_ctx // BLOCK_S
     kernel = _make_kernel(B=B, L=L, S=S, H=H, NH=NH, NKV=NKV, D=D,
-                          eps=eps, n_blocks=n_blocks, quant=quant)
+                          eps=eps, n_blocks=n_blocks, quant=quant,
+                          masked=masked)
     anys = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -479,7 +494,8 @@ def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
     kv_dt = jnp.int8 if quant else jnp.bfloat16
     n_cache = 2 if quant else 1
 
-    in_specs = ([vmem, vmem, vmem, vmem, smem]     # x, c, s, n_valid, widx
+    in_specs = ([vmem, vmem, vmem, vmem, vmem, smem]
+                # x, rope c, rope s, val (n_valid | bitmask), live, widx
                 + [anys] * 4                        # wqkv_t, wo, wgu_t, wdown
                 + [vmem] * 4                        # norms
                 + [anys] * n_cache)                 # cache values (+scales)
@@ -490,10 +506,10 @@ def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
         out_specs.append(anys)
     out_shape.append(jax.ShapeDtypeStruct((B, H), jnp.float32))
     out_specs.append(vmem)
-    # cache inputs sit at positions 13(, 14); alias them to outputs 0(, 1)
-    aliases = {13: 0}
+    # cache inputs sit at positions 14(, 15); alias them to outputs 0(, 1)
+    aliases = {14: 0}
     if quant:
-        aliases[14] = 1
+        aliases[15] = 1
 
     scratch = [
         pltpu.VMEM((N_BUF_W, H, H), jnp.bfloat16),           # weight ring
@@ -541,8 +557,14 @@ def talker_step_fused(layers_w, x: jax.Array, positions: jax.Array,
                       *, n_heads: int, n_kv: int, head_dim: int,
                       eps: float, theta: float,
                       read_ctx: int | None = None,
+                      valid_mask: jax.Array | None = None,
                       interpret: bool = False):
-    """Drop-in for models/stack.stack_step on the lock-step path.
+    """Drop-in for models/stack.stack_step on the shared-write-slot
+    paths: lock-step (prefix validity via n_valid) and the serving ring
+    (valid_mask [B, S] bool — slot validity bitmask; n_valid is then
+    ignored, like stack_step). Ring lifetime windows are accepted
+    upstream but not needed here: the bitmask is exact, so the kernel
+    simply reads every block under read_ctx, like the XLA einsum.
 
     x: [B, H] f32; positions, n_valid: [B] i32; write_idx: scalar i32;
     kv_cache: stacked [L, 2, B, kv, S, D] bf16 or stack.QuantKV.
@@ -562,12 +584,26 @@ def talker_step_fused(layers_w, x: jax.Array, positions: jax.Array,
     wgu_t = layers_w["w_gu"].reshape(L, H, 6, H).transpose(0, 2, 1, 3)
 
     c, s = _rope_rows(positions, head_dim, theta)
-    nv = n_valid.astype(jnp.int32).reshape(B, 1)
-    widx = write_idx.astype(jnp.int32).reshape(1, 1)
+    widx = write_idx.astype(jnp.int32)
+    if valid_mask is not None:
+        # clear the current slot's bit: its row is handled analytically
+        # in VMEM (a dynamic-lane read inside the kernel would not
+        # lower); `live` carries whether the slot was attendable
+        live = jnp.take_along_axis(
+            valid_mask, jnp.broadcast_to(widx, (B,))[:, None],
+            axis=1).astype(jnp.int32)
+        val = valid_mask.astype(jnp.int32)
+        val = val.at[:, widx].set(0)
+    else:
+        val = n_valid.astype(jnp.int32).reshape(B, 1)
+        live = (n_valid.astype(jnp.int32) > widx
+                ).astype(jnp.int32).reshape(B, 1)
 
     call = _build_call(B, L, S, H, n_heads, n_kv, head_dim,
-                       float(eps), int(rc), quant, bool(interpret))
-    args = [x.astype(jnp.float32), c, s, nv, widx,
+                       float(eps), int(rc), quant,
+                       valid_mask is not None, bool(interpret))
+    args = [x.astype(jnp.float32), c, s, val, live,
+            widx.reshape(1, 1),
             wqkv_t, layers_w["wo"], wgu_t, layers_w["w_down"],
             layers_w["attn_norm"].astype(jnp.float32),
             layers_w["ffn_norm"].astype(jnp.float32),

@@ -137,6 +137,41 @@ def test_step_parity_multi_tile_multi_block():
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_step_parity_masked_ring(quant):
+    """Ring-slot bitmask mode (serving): scattered validity, shared
+    scalar write slot, dead lanes with a cleared current bit."""
+    rng = np.random.default_rng(21)
+    L, B, S = 2, 4, 256
+    lw = _layers(L, rng)
+    cache = _random_cache(L, B, S, quant, rng)
+    x = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    widx = 170
+    # scattered ring validity; every lane keeps >=1 valid slot
+    mask = rng.random((B, S)) < 0.4
+    mask[:, 0] = True
+    mask[:, widx + 1:] = False
+    mask[:, widx] = [True, False, True, True]    # lane 1 = dead this step
+    mask_j = jnp.asarray(mask)
+    positions = jnp.asarray([200, 40, 7, 130], jnp.int32)  # logical pos
+    n_valid = positions + 1                       # ignored in mask mode
+    kw = dict(n_heads=NH, n_kv=NKV, head_dim=D, eps=EPS, theta=THETA,
+              read_ctx=256)
+    y_ref, c_ref = stack_step(lw, x, positions, cache, jnp.int32(widx),
+                              n_valid, valid_mask=mask_j, **kw)
+    y_fus, c_fus = talker_fused.talker_step_fused(
+        lw, x, positions, cache, jnp.int32(widx), n_valid,
+        valid_mask=mask_j, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                               atol=3e-2, rtol=3e-2)
+    for a, b in zip(_cache_parts(c_ref), _cache_parts(c_fus)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        keep = np.ones(S, bool)
+        keep[widx] = False
+        np.testing.assert_array_equal(a[:, :, :, :, keep],
+                                      b[:, :, :, :, keep])
+
+
 def test_read_ctx_bounds_reads():
     """Slots at/above read_ctx must never contribute: poison them."""
     rng = np.random.default_rng(11)
@@ -206,7 +241,10 @@ def test_supported_gating():
     layered = init_kv_cache(2, B, S, NKV, D, layered=True)
     assert not talker_fused.supported(cfg, B, w, layered, scalar, None, 128)
     mask = jnp.ones((B, S), bool)
-    assert not talker_fused.supported(cfg, B, w, cache, scalar, mask, 128)
+    assert talker_fused.supported(cfg, B, w, cache, scalar, mask, 128)
+    bad_mask = jnp.ones((B, S // 2), bool)    # mask/cache length mismatch
+    assert not talker_fused.supported(cfg, B, w, cache, scalar, bad_mask,
+                                      128)
     per_stream = jnp.full((B,), 10, jnp.int32)
     assert not talker_fused.supported(cfg, B, w, cache, per_stream, None, 128)
     f32w = dict(lw, wqkv=lw["wqkv"].astype(jnp.float32))

@@ -51,6 +51,11 @@ def main():
                     help="talker KV dtype (sets QWEN3_TTS_KV)")
     ap.add_argument("--cache", choices=("stacked", "layered"), default=None,
                     help="talker KV cache layout (sets QWEN3_TTS_CACHE)")
+    ap.add_argument("--talker", choices=("auto", "xla", "fused"),
+                    default=None,
+                    help="talker decode-step impl (sets QWEN3_TTS_TALKER; "
+                         "fused = the 28-layer megakernel in ring-bitmask "
+                         "mode, ops/talker_fused.py)")
     args = ap.parse_args()
 
     import os
@@ -58,6 +63,8 @@ def main():
         os.environ["QWEN3_TTS_KV"] = args.kv
     if args.cache is not None:
         os.environ["QWEN3_TTS_CACHE"] = args.cache
+    if args.talker is not None:
+        os.environ["QWEN3_TTS_TALKER"] = args.talker
 
     import jax
     # honor JAX_PLATFORMS=cpu (sitecustomize pre-imports jax with the

@@ -73,7 +73,9 @@ timeout 2400 python -u tools/bench_attention.py --iters 50 \
     2>&1 | tee /tmp/r4_attn.log
 
 # 6. serving aggregate + TTFA at the winning lock-step config (edit
-# --kv/--cache here if the ladder picked differently)
+# --kv/--cache here if the ladder picked differently; add
+# --talker fused for a serving rung IF step 3b won on chip — the
+# kernel's ring-bitmask mode is interpret-verified)
 timeout 3600 python -u tools/bench_serve.py --slots 96 --requests 288 \
     --kv int8 --cache layered 2>&1 | tee /tmp/r4_serve96.log
 timeout 3600 python -u tools/bench_serve.py --slots 160 --requests 480 \
