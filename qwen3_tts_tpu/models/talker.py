@@ -182,6 +182,11 @@ def talker_prefill(w, cfg: TalkerConfig, prefill_embd: jax.Array,
 # QWEN3_TTS_TALKER=fused; flip this default only on a measured win.
 _IMPL = None
 _IMPL_VALID = (None, "auto", "fused", "fused_interpret", "xla")
+# Flip to True ONLY on a measured on-chip win (parity PASS + step A/B,
+# tools/bench_talker_fused.py / r4_measure step 3b). The gating below
+# then mirrors code_predictor's: single device only — Mosaic kernels are
+# not auto-partitionable under GSPMD (ADVICE r3 medium finding).
+_AUTO_FUSED = False
 
 
 def set_talker_step_impl(impl: str | None) -> None:
@@ -232,7 +237,20 @@ def talker_step(w, cfg: TalkerConfig, step_embd: jax.Array,
     # reference's single step graph enqueue (tts_transformer.cpp:
     # 1376-1512 built once, executed per frame).
     impl = _resolve_impl()
-    if impl in ("fused", "fused_interpret"):
+    use_fused = impl in ("fused", "fused_interpret")
+    if not use_fused and impl == "auto" and _AUTO_FUSED:
+        from ..ops import talker_fused
+        widx = write_idx if write_idx is not None else n_past
+        # auto: besides supported(), require a single TPU device —
+        # Mosaic kernels are not auto-partitionable under GSPMD;
+        # multi-chip meshes take the XLA stack_step (explicit
+        # impl="fused" still forces the kernel).
+        use_fused = (jax.default_backend() == "tpu"
+                     and jax.device_count() == 1
+                     and talker_fused.supported(cfg, B, w, kv_cache,
+                                                widx, valid_mask,
+                                                read_ctx))
+    if use_fused:
         from ..ops import talker_fused
         widx = write_idx if write_idx is not None else n_past
         if not talker_fused.supported(cfg, B, w, kv_cache, widx,

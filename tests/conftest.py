@@ -19,6 +19,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: repeat suite runs load executables instead
+# of re-invoking the XLA:CPU compiler — a large wall-time win on small
+# hosts (the heavy real-dim vocoder/megakernel compiles dominate), and
+# it sidesteps a rare XLA:CPU compiler segfault observed late in long
+# single-process suite runs (backend_compile_and_load crashed at ~91%
+# of a full run; every test passes standalone). Cache entries are keyed
+# by jax version + config, so the dir is safe to keep across upgrades.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

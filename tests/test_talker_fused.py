@@ -226,6 +226,98 @@ def test_dispatch_via_talker_step():
                                atol=3e-2, rtol=3e-2)
 
 
+def test_generate_chunk_e2e_fused():
+    """Lock-step generate_chunk with the fused kernel inside the scan:
+    catches donation/aliasing-through-scan integration issues the
+    step-level tests cannot (state.kv_cache is a donated scan carry the
+    pallas_call aliases in place)."""
+    from qwen3_tts_tpu.config import TalkerConfig
+    from qwen3_tts_tpu.models import talker
+    from qwen3_tts_tpu.models.weights import init_talker_weights_fast
+    from qwen3_tts_tpu.runtime.generate import (generate_chunk, init_state,
+                                                make_consts)
+
+    cfg = TalkerConfig(
+        text_vocab_size=64, text_embd_dim=32,
+        hidden_size=H, n_layers=2, n_attention_heads=NH,
+        n_key_value_heads=NKV, intermediate_size=I, head_dim=D,
+        codec_vocab_size=3072, code_pred_layers=2,
+        code_pred_vocab_size=64, code_pred_hidden_size=H,
+        code_pred_intermediate_size=I, code_pred_n_attention_heads=NH,
+        code_pred_n_kv_heads=NKV, code_pred_head_dim=D,
+        rms_norm_eps=EPS, rope_theta=THETA)
+    w = init_talker_weights_fast(0, cfg)
+    rng = np.random.default_rng(0)
+    B = 4
+    tokens = jnp.asarray(rng.integers(0, 64, (B, 8)), jnp.int32)
+    lens = jnp.full((B,), 8, jnp.int32)
+    spk = jnp.zeros((B, H), jnp.float32)
+    prefill = talker.build_prefill_inputs(w, cfg, tokens, lens, spk)
+    consts = make_consts(prefill, 0.0, 1.0)
+
+    def run():
+        state = init_state(w, cfg, prefill, 128, jax.random.PRNGKey(3))
+        st, codes, valid = generate_chunk(
+            w, cfg, state, consts, 50, chunk_frames=4, greedy=True,
+            read_ctx=128, lockstep=True)
+        return np.asarray(codes), np.asarray(valid)
+
+    talker.set_talker_step_impl("xla")
+    try:
+        codes0, valid0 = run()
+        talker.set_talker_step_impl("fused_interpret")
+        codes1, valid1 = run()
+    finally:
+        talker.set_talker_step_impl(None)
+    # greedy decoding: identical code streams unless a logit sits within
+    # bf16 wiggle of the argmax boundary — require exact here (tiny
+    # random weights keep logits well-separated at this scale)
+    np.testing.assert_array_equal(valid1, valid0)
+    np.testing.assert_array_equal(codes1, codes0)
+
+
+def test_auto_gating_multi_device(monkeypatch):
+    """With _AUTO_FUSED on, 'auto' must take the XLA path whenever more
+    than one device is visible (Mosaic kernels are not
+    auto-partitionable under GSPMD — ADVICE r3's codepred finding,
+    pre-wired here for the eventual default flip)."""
+    from qwen3_tts_tpu.models import talker
+    from qwen3_tts_tpu.ops import talker_fused
+
+    calls = []
+    monkeypatch.setattr(talker, "_AUTO_FUSED", True)
+    monkeypatch.setattr(talker_fused, "talker_step_fused",
+                        lambda *a, **k: calls.append(1) or (_ for _ in ()
+                                                            ).throw(
+                                                                RuntimeError))
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
+
+    from qwen3_tts_tpu.config import TalkerConfig
+    cfg = TalkerConfig(
+        hidden_size=H, n_layers=2, n_attention_heads=NH,
+        n_key_value_heads=NKV, intermediate_size=I, head_dim=D,
+        codec_vocab_size=64, rms_norm_eps=EPS, rope_theta=THETA)
+    rng = np.random.default_rng(7)
+    B, S = 4, 256
+    w = {
+        "layers": _layers(2, rng),
+        "output_norm": jnp.ones((H,), jnp.float32),
+        "codec_head": jnp.asarray(rng.standard_normal((H, 64)) * 0.1,
+                                  jnp.bfloat16),
+    }
+    cache = _random_cache(2, B, S, False, rng)
+    x = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    n_past = jnp.full((B,), 130, jnp.int32)
+    talker.set_talker_step_impl("auto")
+    try:
+        h, lg, _ = talker.talker_step(w, cfg, x, cache, n_past,
+                                      read_ctx=S, write_idx=jnp.int32(130))
+    finally:
+        talker.set_talker_step_impl(None)
+    assert not calls, "auto must not trace the kernel on a multi-device mesh"
+    assert np.isfinite(np.asarray(h)).all()
+
+
 def test_supported_gating():
     """Fallback preconditions: layered cache, bitmask mode, per-stream
     write slots, f32 weights and ragged read_ctx all reject."""
