@@ -71,10 +71,29 @@ def _source_hash() -> str:
     return h.hexdigest()[:10]
 
 
+def _host_cpu_hash() -> str:
+    """Fingerprint of the host CPU's feature flags. XLA:CPU AOT
+    executables are compiled FOR the build host's microarchitecture;
+    deserializing one on a host with different features dispatches
+    broken code ("Function ... not found" / SIGILL) instead of failing
+    the load cleanly. TPU executables are device binaries and do not
+    depend on the host, so only the cpu platform keys on this."""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    return hashlib.sha1(line).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
 def _fingerprint() -> str:
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", dev.platform).replace(" ", "_")
-    return f"{jax.__version__}-{dev.platform}-{kind}-{_source_hash()}"
+    host = f"-h{_host_cpu_hash()}" if dev.platform == "cpu" else ""
+    return f"{jax.__version__}-{dev.platform}-{kind}{host}-{_source_hash()}"
 
 
 class _LoadedExec:
@@ -113,6 +132,29 @@ class AotCache:
     def _path(self, key: str) -> Path:
         return self.dir / f"{key}-{self.fingerprint}.jaxexec"
 
+    _cc_disabled = False
+
+    @classmethod
+    def _quarantine_compile_cache(cls) -> None:
+        """XLA:CPU's AOT function registry is process-global: an
+        executable LOADED from jax's persistent compile cache after any
+        deserialize_and_load in the same process dispatches "Function
+        <fusion> not found" (fusion function names like
+        multiply_select_fusion collide; minimal repro in NOTES.md
+        round 4). Invariant enforced here: once this process
+        deserializes an artifact on the cpu backend, no further
+        persistent-cache loads may happen — disable the cache for the
+        rest of the process. TPU executables are device binaries and
+        unaffected (round-3 warm starts ran both caches together)."""
+        if cls._cc_disabled or jax.default_backend() != "cpu":
+            return
+        if jax.config.jax_enable_compilation_cache:
+            jax.config.update("jax_enable_compilation_cache", False)
+            _log("cpu backend: persistent compile cache disabled for "
+                 "the rest of the process (AOT deserialize is "
+                 "incompatible with later cache loads)")
+        cls._cc_disabled = True
+
     def load(self, key: str):
         """Load a serialized executable; None if absent/incompatible."""
         if not self.enabled:
@@ -122,6 +164,7 @@ class AotCache:
             return None
         try:
             t0 = time.monotonic()
+            self._quarantine_compile_cache()
             from jax.experimental.serialize_executable import (
                 deserialize_and_load)
             with open(path, "rb") as f:
@@ -195,16 +238,32 @@ class AotCache:
             self._mem[key] = hit
             return hit
         t0 = time.monotonic()
-        for attempt in range(retries + 1):
-            try:
-                compiled = jitted_fn.lower(*args, **kwargs).compile()
-                break
-            except Exception as e:
-                if attempt == retries:
-                    raise
-                _log(f"compile of {key} failed ({type(e).__name__}: "
-                     f"{str(e)[:120]}); retry {attempt + 1}/{retries}")
-                time.sleep(2.0)
+        # XLA:CPU executables LOADED from jax's persistent compile cache
+        # do not survive a serialize_executable round-trip: the reloaded
+        # artifact dispatches "Function compare_broadcast_fusion not
+        # found" (companion fusion functions are dropped somewhere in
+        # cache-load + re-serialize). Compile fresh with the persistent
+        # cache disabled so the serialized artifact is complete. TPU
+        # executables are unaffected (device binaries; round-3 warm
+        # starts deserialized and ran fine with the cache active).
+        fresh = jax.default_backend() == "cpu"
+        if fresh:
+            prev_cc = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            for attempt in range(retries + 1):
+                try:
+                    compiled = jitted_fn.lower(*args, **kwargs).compile()
+                    break
+                except Exception as e:
+                    if attempt == retries:
+                        raise
+                    _log(f"compile of {key} failed ({type(e).__name__}: "
+                         f"{str(e)[:120]}); retry {attempt + 1}/{retries}")
+                    time.sleep(2.0)
+        finally:
+            if fresh:
+                jax.config.update("jax_enable_compilation_cache", prev_cc)
         _log(f"compiled {key} ({time.monotonic()-t0:.1f} s)")
         self.save(key, compiled)
         out = _LoadedExec(compiled)

@@ -19,17 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: repeat suite runs load executables instead
-# of re-invoking the XLA:CPU compiler — a large wall-time win on small
-# hosts (the heavy real-dim vocoder/megakernel compiles dominate), and
-# it sidesteps a rare XLA:CPU compiler segfault observed late in long
-# single-process suite runs (backend_compile_and_load crashed at ~91%
-# of a full run; every test passes standalone). Cache entries are keyed
-# by jax version + config, so the dir is safe to keep across upgrades.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache for the suite (round 4 reverted it after
+# one round): XLA:CPU's AOT function registry is process-global and
+# keyed by NON-UNIQUE fusion names ("compare_broadcast_fusion", ...) —
+# mixing persistent-cache loads with serialize_executable deserializes
+# (tests/test_aot.py, test_serve.py) in one process breaks whichever
+# executable registers a colliding name second, as a nondeterministic
+# "Function <fusion> not found" at dispatch (minimal repro: NOTES.md
+# round 4). Per process it must be cache XOR deserialize; the suite
+# deserializes, so it compiles fresh. runtime/aot.py enforces the same
+# invariant for any non-test CPU process via _quarantine_compile_cache.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

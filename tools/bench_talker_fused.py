@@ -75,17 +75,44 @@ def main():
                                  quant=quant), jnp.int32(0), None, 128)
     log(f"supported(geometry/weights): {ok}")
 
-    # random-but-plausible cache (both impls read identical rows)
+    # random-but-plausible cache (both impls read identical rows), built
+    # ONE LAYER AT A TIME inside jit: materializing the full
+    # [L,2,B,kv,S,D] f32 tensor at serving shapes is ~47 GB and OOMs the
+    # 16 GB HBM (observed on the first real-chip run); the per-layer
+    # transient is ~1.7 GB and the fori_loop DUS updates in place.
     key = jax.random.PRNGKey(1)
-    vals = jax.random.normal(
-        key, (cfg.n_layers, 2, B, cfg.n_key_value_heads, S, cfg.head_dim),
-        jnp.float32) * 0.5
+    shape_l = (1, 2, B, cfg.n_key_value_heads, S, cfg.head_dim)
+    n_elems = cfg.n_layers * int(np.prod(shape_l[1:]))
+    cache_gb = n_elems * (1.25 if quant else 2) / 2**30
+    log(f"cache {'int8' if quant else 'bf16'} ~{cache_gb:.1f} GB")
+
     if quant:
-        q, s = quantize_kv_rows(vals)
-        cache = QuantKV(q, s)
+        @jax.jit
+        def build():
+            q0 = jnp.zeros((cfg.n_layers,) + shape_l[1:], jnp.int8)
+            s0 = jnp.zeros((cfg.n_layers,) + shape_l[1:-1], jnp.float32)
+            def body(l, acc):
+                q_acc, s_acc = acc
+                vals = jax.random.normal(jax.random.fold_in(key, l),
+                                         shape_l, jnp.float32) * 0.5
+                q, s = quantize_kv_rows(vals)
+                return (jax.lax.dynamic_update_slice(
+                            q_acc, q, (l, 0, 0, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            s_acc, s, (l, 0, 0, 0, 0)))
+            return jax.lax.fori_loop(0, cfg.n_layers, body, (q0, s0))
+        cache = QuantKV(*build())
     else:
-        cache = vals.astype(jnp.bfloat16)
-    del vals
+        @jax.jit
+        def build():
+            c0 = jnp.zeros((cfg.n_layers,) + shape_l[1:], jnp.bfloat16)
+            def body(l, c):
+                vals = jax.random.normal(jax.random.fold_in(key, l),
+                                         shape_l, jnp.float32) * 0.5
+                return jax.lax.dynamic_update_slice(
+                    c, vals.astype(jnp.bfloat16), (l, 0, 0, 0, 0, 0))
+            return jax.lax.fori_loop(0, cfg.n_layers, body, c0)
+        cache = build()
     x0 = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.hidden_size),
                            jnp.float32)
     widx = jnp.int32(rc - 8)
@@ -144,9 +171,16 @@ def main():
         return ms, out
 
     if args.parity:
-        y_x, _ = xla_step(x0, cache)
-        y_f, _ = talker_fused.talker_step_fused(
-            lw, x0, positions, cache, widx, n_valid, **kw)
+        # jit both sides: the eager stack_step materializes per-layer
+        # slice copies of the multi-GB cache op-by-op and OOMs at
+        # serving shapes (observed on the first real-chip run)
+        y_x, c_x = jax.jit(xla_step)(x0, cache)
+        y_x.block_until_ready()
+        del c_x   # drop the updated-cache copy before the second call:
+        # two extra multi-GB cache buffers alive at once OOM the chip
+        y_f, c_f = jax.jit(fused_step)(x0, cache)
+        y_f.block_until_ready()
+        del c_f
         a, b = np.asarray(y_x), np.asarray(y_f)
         scale = np.abs(a).max()
         rel = np.abs(a - b).max() / max(scale, 1e-9)
