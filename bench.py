@@ -170,7 +170,10 @@ def measure_entry(*, B: int, kv: str, cache: str | None,
     # vocoder: batched 40-frame chunk decode at full scale (causal trim =
     # the streaming TRT-parity path, exactly CHUNK*1920 samples)
     vcodes = jnp.asarray(rng.integers(0, 2048, (B, CHUNK, 16)), jnp.int32)
-    VOC_SUB = voc_sub_for(B)
+    # int8 KV halves the cache's HBM footprint (~5.6 GB freed at B=192 /
+    # ctx 512), making room for wider vocoder sub-batches than the bf16
+    # table assumed; --voc-sub overrides for the A/B.
+    VOC_SUB = args.voc_sub or voc_sub_for(B)
 
     # ONE dispatch for the whole batch: lax.map over VOC_SUB-wide
     # sub-batches inside a single executable (vocoder.py). The
@@ -338,10 +341,10 @@ def main() -> None:
     # margin, 0.182 ms/frame/stream (440x the reference); B=160: 29.4 ms
     # (436x). Both measured with bf16 KV (see --kv below).
     ap.add_argument("--batch", type=int, default=192)
-    # Default bf16: the recorded B=192 34.9 ms ladder ran bf16 (the old
-    # --kv int8 plumbing bug, NOTES.md round 3); int8 is tested but not
-    # yet measured on chip — switch the default once r3_measure.sh lands.
-    ap.add_argument("--kv", choices=("int8", "bf16"), default="bf16",
+    # Default int8: measured winner of the round-5 ladder (one process,
+    # NOTES.md round 5): at B=192 int8 cuts gen 26.1 -> 19.8 ms/frame
+    # (e2e 37.4 -> 31.1, 494x vs 411x); bf16 remains the A/B control.
+    ap.add_argument("--kv", choices=("int8", "bf16"), default="int8",
                     help="talker KV cache dtype (int8 halves KV memory "
                          "+ read bandwidth; code predictor stays bf16 "
                          "per the reference constraint, README.md:72)")
@@ -365,6 +368,10 @@ def main() -> None:
                          "JSON line per entry, printed as each completes "
                          "(an OOM at a later rung keeps earlier lines). "
                          "Overrides --batch/--kv/--cache/--talker.")
+    ap.add_argument("--voc-sub", type=int, default=None,
+                    help="vocoder decode sub-batch width (default: the "
+                         "bf16-era voc_sub_for table; int8-KV configs "
+                         "have HBM room for wider subs — measure)")
     ap.add_argument("--chunks", type=int, default=3,
                     help="measured generation chunks per run (>=1)")
     ap.add_argument("--runs", type=int, default=3,
@@ -462,20 +469,30 @@ def main() -> None:
     aot = AotCache()
 
     t0 = time.monotonic()
-    # ON-DEVICE random init: one jitted program, AOT-cached to disk.
-    # Host init + device_put was measured at 1105 s — the axon tunnel
-    # uploads at ~1.3 MB/s, so shipping 1.4 GB of weights from the host
-    # is the worst option; generating them on-chip costs one (persisted)
-    # compile and ~1 s of device time.
+    # ON-DEVICE init: one tiny jitted program (fast_fill hash generator),
+    # AOT-cached to disk. Host init + device_put was measured at 1105 s
+    # (the axon tunnel uploads at ~1.3 MB/s); the threefry on-device init
+    # fixed that but its 23 MiB executable still cost 60-530 s on first
+    # dispatch through the tunnel (VERDICT r4 'next' #6, BENCH_r04's
+    # 531 s) — fast_fill's program is ~KBs and executes in milliseconds.
     w = init_talker_weights_device(jax.random.PRNGKey(0), cfg,
                                    aot_cache=aot)
-    jax.device_get(jax.tree.leaves(w)[0].ravel()[:1])
+    # fence via a pure transfer of a small whole leaf: no eager op, so
+    # no remote compile can hide inside the init timing
+    jax.device_get(w["output_norm"])
     log(f"0.6B talker+code-pred weights initialized on device "
         f"({time.monotonic()-t0:.1f}s)")
     init_done.set()        # watchdog disarms after the first real device op
 
-    vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
-    vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
+    t0 = time.monotonic()
+    if args.tiny:
+        vw = vocoder.init_vocoder_weights(np.random.default_rng(1), vcfg)
+        vw = vocoder.cast_weights(jax.device_put(vw))  # bf16 fast path
+    else:
+        vw = vocoder.init_vocoder_weights_device(vcfg, aot_cache=aot)
+    jax.device_get(jax.tree.leaves(vw)[0])
+    log(f"vocoder weights initialized on device "
+        f"({time.monotonic()-t0:.1f}s)")
 
     for i, (B, kv, cache, tk) in enumerate(entries):
         if len(entries) > 1:

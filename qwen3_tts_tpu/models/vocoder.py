@@ -610,6 +610,39 @@ def init_vocoder_weights(rng: np.random.Generator,
                          cfg: VocoderConfig) -> dict[str, Any]:
     def rn(*shape, scale=0.1):
         return jnp.asarray(rng.standard_normal(shape) * scale, WDT)
+    return _build_vocoder_weights(rn, cfg)
+
+
+def init_vocoder_weights_device(cfg: VocoderConfig, aot_cache=None,
+                                compute_dtype=jnp.bfloat16) -> dict[str, Any]:
+    """Benchmark weight init built entirely ON-DEVICE in one jitted
+    program (fast_fill hash generator + cast_weights fused in). The
+    host-numpy path (init_vocoder_weights) dispatches one eager device
+    transfer per leaf through the axon tunnel (~28 s) and then pays a
+    second full upload at device_put+cast (~13-24 s) — measured in
+    tools/probe_init.py; this path is one tiny executable (~seconds,
+    AOT-cacheable)."""
+    import jax
+    from .weights import fast_fill
+
+    import itertools
+    seed_ctr = itertools.count(1)
+
+    def build():
+        def rn(*shape, scale=0.1):
+            return fast_fill(shape, next(seed_ctr), scale, WDT)
+        return cast_weights(_build_vocoder_weights(rn, cfg), compute_dtype)
+
+    jfn = jax.jit(build)
+    if aot_cache is not None:
+        name = (f"vwinit-fast-{cfg.hidden_dim}x{cfg.latent_dim}"
+                f"x{cfg.decoder_dim}-t{cfg.n_pre_tfm_layers}"
+                f"-{jnp.dtype(compute_dtype).name}")
+        return aot_cache.get_or_compile(name, jfn)()
+    return jfn()
+
+
+def _build_vocoder_weights(rn, cfg: VocoderConfig) -> dict[str, Any]:
 
     width = cfg.hidden_dim  # transformer width (512 in the real model)
     qkv = cfg.latent_dim

@@ -236,23 +236,63 @@ def init_talker_weights_fast(seed: int, cfg: TalkerConfig,
     return jax.device_put(w)
 
 
+def fast_fill(shape, seed: int, scale: float,
+              dtype=MATMUL_DTYPE) -> jnp.ndarray:
+    """Cheap deterministic on-device fill ~ uniform(-scale*sqrt(3),
+    +scale*sqrt(3)) — same variance as normal(0, scale), bounded, and
+    decorrelated by a Weyl/xorshift hash. MUST be called inside jit.
+
+    Why not jax.random.normal: benchmark weights only need realistic
+    FLOPs/bytes and bounded non-degenerate values, and the threefry init
+    program for the full 0.6B stack serializes to a 23 MiB executable
+    whose first dispatch costs 60-530 s through the axon tunnel
+    (VERDICT r4 weak #2; tools/probe_init.py measurements). This fill is
+    a handful of vector ops per tensor — the whole init compiles to a
+    tiny program and executes in milliseconds of device time."""
+    import jax
+    import jax.numpy as jnp
+    n = 1
+    for d in shape:
+        n *= int(d)
+    i = jax.lax.iota(jnp.uint32, n) + jnp.uint32((seed * 0x9E3779B9)
+                                                 & 0xFFFFFFFF)
+    # xorshift-multiply hash (Murmur-style finalizer, vector ops only)
+    i = (i ^ (i >> 16)) * jnp.uint32(0x7FEB352D)
+    i = (i ^ (i >> 15)) * jnp.uint32(0x846CA68B)
+    i = i ^ (i >> 16)
+    u = i.astype(jnp.float32) * (1.0 / 4294967296.0)        # [0, 1)
+    lim = scale * 1.7320508
+    return ((u * 2.0 - 1.0) * lim).astype(dtype).reshape(shape)
+
+
 def init_talker_weights_device(key, cfg: TalkerConfig,
                                scale: float = 0.02,
-                               aot_cache=None) -> dict[str, Any]:
-    """Random init generated ON-DEVICE (jax.random) — used by benchmarks
-    at full 0.6B scale where host-side numpy init would dominate startup.
-    The whole init is one jitted program (one compile).
+                               aot_cache=None,
+                               fast: bool | None = None) -> dict[str, Any]:
+    """Random init generated ON-DEVICE — used by benchmarks at full 0.6B
+    scale where host-side numpy init would dominate startup. The whole
+    init is one jitted program (one compile).
+
+    fast=True (default, QWEN3_TTS_FAST_INIT=0 reverts) uses the
+    fast_fill hash generator instead of threefry normals: statistically
+    equivalent for benchmarking (same variance, bounded) but the program
+    is ~KBs instead of 23 MiB, so the first dispatch through the axon
+    tunnel takes seconds, not minutes (VERDICT r4 'next' #6).
 
     aot_cache: optional runtime.aot.AotCache — the init executable is
     then serialized to disk, so warm bench runs skip the remote compile
-    entirely (the r3 logs show 12-528 s tunnel-dependent variance for
-    this one program; a warm artifact load is seconds, flat)."""
+    entirely (the r3 logs show 12-528 s tunnel-dependent variance on the
+    threefry program; a warm artifact load is seconds, flat)."""
+    import os
     import jax
     from functools import partial
+    if fast is None:
+        fast = os.environ.get("QWEN3_TTS_FAST_INIT", "1") != "0"
     jfn = jax.jit(partial(_init_talker_weights_device_impl, cfg=cfg,
-                          scale=scale))
+                          scale=scale, fast=fast))
     if aot_cache is not None:
-        name = (f"winit-{cfg.n_layers}x{cfg.hidden_size}"
+        name = (f"winit-{'fast-' if fast else ''}"
+                f"{cfg.n_layers}x{cfg.hidden_size}"
                 f"-cp{cfg.code_pred_layers}x{cfg.code_pred_hidden_size}"
                 f"-s{scale}")
         return aot_cache.get_or_compile(name, jfn, key)(key)
@@ -260,13 +300,17 @@ def init_talker_weights_device(key, cfg: TalkerConfig,
 
 
 def _init_talker_weights_device_impl(key, *, cfg: TalkerConfig,
-                                     scale: float) -> dict[str, Any]:
+                                     scale: float,
+                                     fast: bool = False) -> dict[str, Any]:
     import jax
     import jax.numpy as jnp
 
     keys = iter(jax.random.split(key, 64))
+    seed_ctr = iter(range(1, 65))
 
     def rnd(shape, dtype=MATMUL_DTYPE):
+        if fast:
+            return fast_fill(shape, next(seed_ctr), scale, dtype)
         return (jax.random.normal(next(keys), shape, jnp.float32) *
                 scale).astype(dtype)
 
