@@ -170,15 +170,30 @@ def main():
         log(f"{name:<28} {ms:8.3f} ms/step (B={B}, rc={rc}, {args.kv})")
         return ms, out
 
+    def with_retries(fn, *a):
+        """The axon remote-compile helper drops ~40% of requests with
+        transient HTTP 500 / broken-pipe errors (NOTES.md round 2); a
+        retry nearly always succeeds. Applied to every first (compiling)
+        call in this tool, not just the timed section."""
+        for attempt in range(args.compile_retries):
+            try:
+                return fn(*a)
+            except Exception as e:
+                if attempt == args.compile_retries - 1:
+                    raise
+                log(f"compile attempt {attempt+1} failed: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                time.sleep(2.0)
+
     if args.parity:
         # jit both sides: the eager stack_step materializes per-layer
         # slice copies of the multi-GB cache op-by-op and OOMs at
         # serving shapes (observed on the first real-chip run)
-        y_x, c_x = jax.jit(xla_step)(x0, cache)
+        y_x, c_x = with_retries(jax.jit(xla_step), x0, cache)
         y_x.block_until_ready()
         del c_x   # drop the updated-cache copy before the second call:
         # two extra multi-GB cache buffers alive at once OOM the chip
-        y_f, c_f = jax.jit(fused_step)(x0, cache)
+        y_f, c_f = with_retries(jax.jit(fused_step), x0, cache)
         y_f.block_until_ready()
         del c_f
         a, b = np.asarray(y_x), np.asarray(y_f)
