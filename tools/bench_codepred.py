@@ -91,13 +91,26 @@ def main():
                               (B, cfg.hidden_size), jnp.float32) * 0.5
         c0 = jax.random.randint(jax.random.PRNGKey(12), (B,), 0,
                                 cfg.code_pred_vocab_size)
-        fused = np.asarray(cf.predict_codes_fused(
-            w, cfg, h, c0, jnp.float32(0.0), 50, jax.random.PRNGKey(0),
-            greedy=True))
+        def _retry(fn, *fa, **fk):
+            # the axon remote-compile helper drops ~40% of requests
+            # transiently (HTTP 500 / broken pipe, NOTES.md)
+            for attempt in range(3):
+                try:
+                    return fn(*fa, **fk)
+                except Exception as e:
+                    if attempt == 2:
+                        raise
+                    log(f"parity compile retry ({type(e).__name__}: "
+                        f"{str(e)[:120]})")
+                    time.sleep(2.0)
+
+        fused = np.asarray(_retry(
+            cf.predict_codes_fused, w, cfg, h, c0, jnp.float32(0.0), 50,
+            jax.random.PRNGKey(0), greedy=True))
         code_predictor.set_codepred_impl("xla")
-        ref = np.asarray(code_predictor.predict_codes(
-            w, cfg, h, c0, jnp.float32(0.0), 50, jax.random.PRNGKey(0),
-            greedy=True))
+        ref = np.asarray(_retry(
+            code_predictor.predict_codes, w, cfg, h, c0, jnp.float32(0.0),
+            50, jax.random.PRNGKey(0), greedy=True))
         code_predictor.set_codepred_impl(args.impl)
         agree = (fused == ref).mean()
         stream = (fused == ref).all(axis=1).mean()

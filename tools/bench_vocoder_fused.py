@@ -85,7 +85,20 @@ def main():
                          ("fused", fused_residual_chain)):
             f = jax.jit(lambda x, r, fn=fn: fn(x, r))
             try:
-                out = f(x, res)
+                # retry the first (compiling) call: the axon remote
+                # compile helper drops ~40% of requests transiently
+                # (HTTP 500 / broken pipe, NOTES.md) — without a retry
+                # a flake records a spurious FAILED for the variant
+                for attempt in range(3):
+                    try:
+                        out = f(x, res)
+                        break
+                    except Exception as e:
+                        if attempt == 2:
+                            raise
+                        log(f"  compile retry ({type(e).__name__}: "
+                            f"{str(e)[:120]})")
+                        time.sleep(2.0)
                 jax.device_get(out.ravel()[0])
                 t0 = time.monotonic()
                 for _ in range(args.reps):
@@ -129,12 +142,23 @@ def main():
                 y = conv_transpose1d(y, w, rate)
                 return y[:, K - rate:] + bias
 
+            def _retry(fn, *fa):
+                for attempt in range(3):
+                    try:
+                        return fn(*fa)
+                    except Exception as e:
+                        if attempt == 2:
+                            raise
+                        log(f"  compile retry ({type(e).__name__}: "
+                            f"{str(e)[:120]})")
+                        time.sleep(2.0)
+
             try:
-                ref = np.asarray(jax.device_get(jax.jit(xla_head)(x)),
-                                 np.float32)
-                got = np.asarray(jax.device_get(jax.jit(
-                    lambda x: fused_snake_convt(x, a, b, w, bias, rate))(x)),
-                    np.float32)
+                ref = np.asarray(jax.device_get(
+                    _retry(jax.jit(xla_head), x)), np.float32)
+                got = np.asarray(jax.device_get(_retry(jax.jit(
+                    lambda x: fused_snake_convt(x, a, b, w, bias, rate)),
+                    x)), np.float32)
             except Exception as e:
                 log(f"  parity head T={T} C={C} r={rate}: FAILED {e!r}")
                 failures += 1
