@@ -66,11 +66,16 @@ def _mtp(cp, x: jax.Array) -> jax.Array:
 
 def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
                   temperature: jax.Array, top_k: int,
-                  key: jax.Array, greedy: bool = False) -> jax.Array:
+                  key: jax.Array, greedy: bool = False,
+                  top_p: float = 1.0) -> jax.Array:
     """Generate codebooks 1..15 for one frame, batched.
 
     hidden: [B, hidden] f32 (talker last hidden, post output-norm);
     cb0: [B] int32 (sampled first-codebook token).
+    top_p (static): optional nucleus filter after top-k — a working
+    extension over the reference, which defines top_p but never applies
+    it (qwen3_tts.h:26). The fused megakernel samples in-kernel and has
+    no nucleus path, so top_p < 1.0 routes to the XLA scan.
     Returns codes [B, 15] int32.
     """
     cp = w["code_pred"]
@@ -86,13 +91,14 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
     impl = _resolve_impl()
     if impl != "xla":
         from ..ops import codepred_fused
-        ok = codepred_fused.supported(cfg, B, w)
+        ok = codepred_fused.supported(cfg, B, w) and top_p >= 1.0
         if impl in ("fused", "fused_interpret"):
             if not ok:
                 raise ValueError(
                     "QWEN3_TTS_CODEPRED=fused but the fused kernel does "
-                    "not support this config/batch (see codepred_fused"
-                    ".supported)")
+                    "not support this config/batch/top_p (see "
+                    "codepred_fused.supported; the kernel samples "
+                    "in-kernel and has no nucleus path)")
             return codepred_fused.predict_codes_fused(
                 w, cfg, hidden, cb0, temperature, top_k, key,
                 greedy=greedy, interpret=(impl == "fused_interpret"))
@@ -129,7 +135,8 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
     logits = jnp.dot(h.astype(head0.dtype), head0,
                      preferred_element_type=jnp.float32)
     key, sub = jax.random.split(key)
-    code = sample_codes(logits, temperature, top_k, sub, greedy=greedy)
+    code = sample_codes(logits, temperature, top_k, sub, greedy=greedy,
+                        top_p=top_p)
 
     # 14 AR steps fused in one scan (vs. 14 graph rebuilds in the GGML
     # fallback, tts_transformer.cpp:2291-2337)
@@ -155,7 +162,8 @@ def predict_codes(w, cfg: TalkerConfig, hidden: jax.Array, cb0: jax.Array,
         logits = jnp.dot(h.astype(head.dtype), head,
                          preferred_element_type=jnp.float32)
         key, sub = jax.random.split(key)
-        code = sample_codes(logits, temperature, top_k, sub, greedy=greedy)
+        code = sample_codes(logits, temperature, top_k, sub, greedy=greedy,
+                        top_p=top_p)
         return (kv_cache, code, key), code
 
     (_, _, _), rest = jax.lax.scan(

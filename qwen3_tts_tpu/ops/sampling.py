@@ -31,40 +31,73 @@ def apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
-@partial(jax.jit, static_argnames=("top_k", "greedy"))
+def apply_top_p(scaled: jax.Array, top_p: float, top_k: int) -> jax.Array:
+    """Nucleus (top-p) filter: keep the smallest prefix of descending-
+    probability tokens whose cumulative mass reaches top_p; the boundary
+    token that crosses top_p is kept (HF semantics), so at least one
+    token always survives.
+
+    Composed AFTER top-k, so only the <= top_k surviving entries can
+    carry mass and the sort is top_k-wide instead of vocab-wide (the
+    -inf'd rest contributes zero probability).
+
+    This is a WORKING extension over the reference, which accepts
+    --top-p (qwen3_tts.h:26, main.cpp:205) but never applies it — its
+    sampler (tts_transformer.cpp:2447-2495) only implements top-k.
+    Callers compile the filter out entirely at the default top_p >= 1.0.
+    """
+    vocab = scaled.shape[-1]
+    k = top_k if 0 < top_k < vocab else vocab
+    vals = jax.lax.top_k(scaled, k)[0]                    # desc-sorted
+    probs = jax.nn.softmax(vals, axis=-1)                 # -inf rows -> 0
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) <= top_p                         # first always kept
+    kth = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(scaled < kth, NEG_INF, scaled)
+
+
+@partial(jax.jit, static_argnames=("top_k", "greedy", "top_p"))
 def sample_codes(logits: jax.Array, temperature: jax.Array, top_k: int,
-                 key: jax.Array, greedy: bool = False) -> jax.Array:
-    """Temperature + top-k sampling for code-predictor logits.
+                 key: jax.Array, greedy: bool = False,
+                 top_p: float = 1.0) -> jax.Array:
+    """Temperature + top-k (+ optional nucleus) sampling for
+    code-predictor logits.
 
     Mirrors sample_or_argmax (tts_transformer.cpp:2198-2236); greedy when
     temperature <= 0 (argmax picks the first maximum, like the reference's
     linear scan at :2051-2061). Pass greedy=True (static) to compile out
-    the top-k/categorical work entirely.
+    the top-k/categorical work entirely. top_p is static too: the default
+    1.0 adds no ops (the reference accepts but ignores top_p; here it
+    works when requested — apply_top_p).
     logits: [B, V] f32 -> [B] int32.
     """
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = apply_top_k(logits / jnp.maximum(temperature, 1e-6), top_k)
+    if top_p < 1.0:
+        scaled = apply_top_p(scaled, top_p, top_k)
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, g, sampled)
 
 
 @partial(jax.jit, static_argnames=("top_k", "eos_id", "suppress_start",
-                                   "greedy"))
+                                   "greedy", "top_p"))
 def sample_cb0(logits: jax.Array, seen_mask: jax.Array,
                frame_idx: jax.Array, expected_frames: jax.Array,
                repetition_penalty: jax.Array, temperature: jax.Array,
                top_k: int, key: jax.Array, *,
                eos_id: int, suppress_start: int,
-               greedy: bool = False) -> jax.Array:
+               greedy: bool = False, top_p: float = 1.0) -> jax.Array:
     """First-codebook sampling with the exact reference pipeline order
     (tts_transformer.cpp:2416-2495):
 
       1. suppress ids in [suppress_start, V) except EOS
       2. HF repetition penalty over previously emitted CB0 ids
       3. EOS ramp-boost after max(20, 4*n_text_tokens) frames
-      4. greedy argmax, or temperature -> top-k (EOS survives) -> sample
+      4. greedy argmax, or temperature -> top-k (EOS survives) ->
+         optional nucleus filter (top_p; EOS survives it too, so
+         termination stays reachable) -> sample
 
     logits: [B, V] f32; seen_mask: [B, V] bool; frame_idx: [B] int32
     (per-stream frame counters); expected_frames: [B]; returns [B] int32.
@@ -101,5 +134,12 @@ def sample_cb0(logits: jax.Array, seen_mask: jax.Array,
     filtered = apply_top_k(scaled, top_k)
     # EOS always survives top-k (:2474-2475)
     filtered = filtered.at[:, eos_id].set(eos_saved)
+    if top_p < 1.0:
+        # nucleus filter over the survivors (top_k + possibly-restored
+        # EOS = up to top_k+1 finite entries); EOS is re-restored after
+        # so the reference's "EOS always sampleable" invariant — which
+        # the EOS-ramp termination relies on — holds under top_p too
+        filtered = apply_top_p(filtered, top_p, top_k + 1)
+        filtered = filtered.at[:, eos_id].set(eos_saved)
     sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, g, sampled)

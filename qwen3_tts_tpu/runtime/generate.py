@@ -155,12 +155,13 @@ def make_consts(prefill: talker.PrefillInputs, temperature: float,
 
 @partial(jax.jit,
          static_argnames=("cfg", "top_k", "chunk_frames", "greedy",
-                          "read_ctx", "lockstep", "ring"),
+                          "read_ctx", "lockstep", "ring", "top_p"),
          donate_argnames=("state",))
 def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
                    top_k: int, chunk_frames: int = 40,
                    greedy: bool = False, read_ctx: int | None = None,
-                   lockstep: bool = False, ring: bool = False):
+                   lockstep: bool = False, ring: bool = False,
+                   top_p: float = 1.0):
     """Generate up to `chunk_frames` frames for every stream in the batch.
 
     Returns (new_state, codes [chunk, B, 16] int32, valid [chunk, B] bool).
@@ -176,6 +177,13 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
     lane writes at the shared scalar write_slot (no per-stream scatter) and
     attention masks by the per-slot validity bitmask. Cache slots are then
     NOT position-ordered; RoPE keeps logical per-stream positions.
+
+    top_p (static): optional nucleus filter after top-k, applied to both
+    CB0 and code-predictor sampling (ops/sampling.apply_top_p). The
+    default 1.0 compiles to the exact pre-top_p program; < 1.0 routes
+    the code predictor to its XLA path (the fused kernel samples
+    in-kernel). A working extension over the reference, which accepts
+    --top-p but never applies it.
     """
     n_cb = cfg.n_codebooks
 
@@ -187,7 +195,8 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
             consts.expected_frames, consts.repetition_penalty,
             consts.temperature, top_k, k_cb0,
             eos_id=cfg.codec_eos_id,
-            suppress_start=cfg.codec_vocab_size - 1024, greedy=greedy)
+            suppress_start=cfg.codec_vocab_size - 1024, greedy=greedy,
+            top_p=top_p)
 
         is_eos = cb0 == cfg.codec_eos_id
         valid = ~state.done & ~is_eos
@@ -200,7 +209,8 @@ def generate_chunk(w, cfg: TalkerConfig, state: GenState, consts: GenConsts,
 
         rest = code_predictor.predict_codes(
             w, cfg, state.last_hidden, cb0_safe,
-            consts.temperature, top_k, k_codes, greedy=greedy)
+            consts.temperature, top_k, k_codes, greedy=greedy,
+            top_p=top_p)
         frame_codes = jnp.concatenate([cb0_safe[:, None], rest], axis=1)
 
         # next-step embedding: codec+code-pred embeds + trailing text row

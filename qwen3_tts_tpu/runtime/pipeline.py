@@ -56,7 +56,10 @@ class TTSParams:
     """Generation parameters (tts_params, qwen3_tts.h:18-43)."""
     max_audio_tokens: int = 4096
     temperature: float = 0.9
-    top_p: float = 1.0          # accepted for CLI parity; not applied (ref: same)
+    top_p: float = 1.0          # nucleus filter; 1.0 = off. The reference
+                                # ACCEPTS --top-p but never applies it
+                                # (qwen3_tts.h:26 vs tts_transformer.cpp:
+                                # 2447-2495); here it works when set.
     top_k: int = 50
     repetition_penalty: float = 1.05
     language_id: int = 2050     # English (qwen3_tts.cpp:461)
@@ -411,7 +414,8 @@ class Qwen3TTS:
             steps_dispatched += CHUNK_FRAMES
             return generate_chunk(
                 self.talker_w, cfg, state, consts, p.top_k, CHUNK_FRAMES,
-                greedy=greedy, read_ctx=read_ctx, lockstep=True)
+                greedy=greedy, read_ctx=read_ctx, lockstep=True,
+                top_p=p.top_p)
 
         state, codes_d, valid_d = dispatch(state)
         chunk_idx = 1

@@ -250,13 +250,16 @@ class ContinuousBatcher:
         fn = self._execs.get(mkey)
         if fn is None:
             greedy = self.params.temperature <= 0.0
+            top_p = float(getattr(self.params, "top_p", 1.0))
             name = (f"gen-{self._key_base()}-rc{read_ctx}"
                     f"-k{self.params.top_k}-g{int(greedy)}"
-                    f"-r{int(self.use_ring)}-t{self.trailing_buf}")
+                    f"-r{int(self.use_ring)}-t{self.trailing_buf}"
+                    + (f"-p{top_p}" if top_p < 1.0 else ""))
             fn = self.engine.aot.get_or_compile(
                 name, generate_chunk, self.engine.talker_w, self.cfg,
                 self.state, self.consts, self.params.top_k, CHUNK_FRAMES,
-                greedy=greedy, read_ctx=read_ctx, ring=self.use_ring)
+                greedy=greedy, read_ctx=read_ctx, ring=self.use_ring,
+                top_p=top_p)
             self._execs[mkey] = fn
         return fn
 
