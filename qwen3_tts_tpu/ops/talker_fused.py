@@ -328,24 +328,31 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                 b0 = tb * TB
                 qt = qs[b0:b0 + TB]                          # [TB, NH, D]
                 # block-diagonal fold [TB, NH, NKV*D]: head row kv*G+g
-                # holds q_{kv,g} at cols kv*D:(kv+1)*D
-                qd_parts = []
-                for h in range(NKV):
-                    blkq = qt[:, h * G:(h + 1) * G, :]       # [TB, G, D]
-                    pads = []
-                    if h:
-                        pads.append(jnp.zeros((TB, G, h * D), jnp.float32))
-                    pads.append(blkq)
-                    if h + 1 < NKV:
-                        pads.append(jnp.zeros((TB, G, (NKV - 1 - h) * D),
-                                              jnp.float32))
-                    qd_parts.append(jnp.concatenate(pads, axis=2))
-                qd = jnp.concatenate(qd_parts, axis=1).astype(
-                    jnp.bfloat16)                            # [TB, NH, H]
+                # holds q_{kv,g} at cols kv*D:(kv+1)*D. Built from
+                # offset-0 strips: strip h = q rows whose kv head is h,
+                # zeros elsewhere. The per-head zero-pad concat form
+                # (slices of qt at differing non-concat-dim offsets)
+                # fails Mosaic's concat lowering ("result/input offset
+                # mismatch on non-concat dimension" — the vocoder
+                # kernel's v1 lesson, NOTES.md round 2).
+                kvid3 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TB, NH, 1), 1) // G)
+                qd = jnp.concatenate(
+                    [jnp.where(kvid3 == h, qt, 0.0)
+                     for h in range(NKV)],
+                    axis=2).astype(jnp.bfloat16)             # [TB, NH, H]
 
+                # Masks are built at their FINAL rank from the i32 rows:
+                # Mosaic only supports minor-dim insertion (reshape /
+                # [:, None]) on 32-bit types, so expanding a bool mask
+                # after the compare fails to compile ("Insertion of
+                # minor dim that is not a no-op only supported for
+                # 32-bit types" — same pitfall as the flash kernel,
+                # NOTES.md round 2).
                 if not masked:
-                    nv = val_ref[b0:b0 + TB, :]              # [TB, 1] i32
-                live = live_ref[b0:b0 + TB, :] != 0          # [TB, 1]
+                    nv3 = val_ref[b0:b0 + TB, :][:, :, None]  # [TB,1,1] i32
+                livei = live_ref[b0:b0 + TB, :]              # [TB, 1] i32
+                live = livei != 0                            # [TB, 1]
                 m = jnp.full((TB, 1, NH), NEG, jnp.float32)
                 lsum = jnp.zeros((TB, 1, NH), jnp.float32)
                 acc = jnp.zeros((TB, NH, D), jnp.float32)
@@ -360,35 +367,51 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                         preferred_element_type=jnp.float32)  # [TB, bs, NH]
                     if quant:
                         kσt = ksbuf[slot]                    # [TB, kv, bs]
+                        # static slice_in_dim + reshape, NOT kσt[:, h, :,
+                        # None]: jnp lowers that indexing to a 3-D gather,
+                        # which Mosaic rejects ("Only 2D gather") — the
+                        # interpret-mode tests can't catch it (first
+                        # on-chip compile did, r5)
                         sc = sc * jnp.concatenate(
                             [jnp.broadcast_to(
-                                kσt[:, h, :, None], (TB, BLOCK_S, G))
+                                jax.lax.slice_in_dim(
+                                    kσt, h, h + 1, axis=1
+                                ).reshape(TB, BLOCK_S, 1),
+                                (TB, BLOCK_S, G))
                              for h in range(NKV)], axis=2)
                     if masked:
                         # ring-slot bitmask; the wrapper already cleared
-                        # bit widx (current row handled analytically)
-                        mrow = val_ref[b0:b0 + TB,
-                                       blk * BLOCK_S:
-                                       (blk + 1) * BLOCK_S] != 0
+                        # bit widx (current row handled analytically).
+                        # reshape BEFORE the compare: i32 minor-dim
+                        # insert is supported, bool is not
+                        mrow3 = (val_ref[b0:b0 + TB,
+                                         blk * BLOCK_S:
+                                         (blk + 1) * BLOCK_S]
+                                 .reshape(TB, BLOCK_S, 1) != 0)
                     else:
-                        s_iota = (blk * BLOCK_S
-                                  + jax.lax.broadcasted_iota(
-                                      jnp.int32, (TB, BLOCK_S), 1))
-                        mrow = (s_iota < nv) & (s_iota != widx)
-                    sc = jnp.where(mrow[:, :, None], sc, NEG)
+                        s_iota3 = (blk * BLOCK_S
+                                   + jax.lax.broadcasted_iota(
+                                       jnp.int32, (TB, BLOCK_S, 1), 1))
+                        mrow3 = (s_iota3 < nv3) & (s_iota3 != widx)
+                    sc = jnp.where(mrow3, sc, NEG)
                     m_new = jnp.maximum(
                         m, jnp.max(sc, axis=1, keepdims=True))
                     p = jnp.exp(sc - m_new)
-                    p = jnp.where(mrow[:, :, None], p, 0.0)
+                    p = jnp.where(mrow3, p, 0.0)
                     alpha = jnp.exp(m - m_new)
                     # the softmax denominator sums the UNSCALED p; the
                     # V row scales fold only into the p @ V product
                     lsum = lsum * alpha + jnp.sum(p, axis=1, keepdims=True)
                     if quant:
                         vσt = vsbuf[slot]
+                        # same static-slice form as the K scales above
+                        # (3-D gather is unsupported in Mosaic)
                         p = p * jnp.concatenate(
                             [jnp.broadcast_to(
-                                vσt[:, h, :, None], (TB, BLOCK_S, G))
+                                jax.lax.slice_in_dim(
+                                    vσt, h, h + 1, axis=1
+                                ).reshape(TB, BLOCK_S, 1),
+                                (TB, BLOCK_S, G))
                              for h in range(NKV)], axis=2)
                     vfl = jnp.concatenate(
                         [vbuf[slot, :, h].astype(jnp.bfloat16)
@@ -397,30 +420,48 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
                         p.astype(jnp.bfloat16), vfl,
                         (((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32)  # [TB, NH, H]
-                    upd = jnp.concatenate(
-                        [pv[:, h * G:(h + 1) * G, h * D:(h + 1) * D]
-                         for h in range(NKV)], axis=1)       # [TB, NH, D]
+                    # diagonal-block extraction as a masked accumulate
+                    # over lane-aligned slices (the concat of slices at
+                    # differing minor offsets does not lower in Mosaic;
+                    # see the qd fold note above)
+                    upd = jnp.zeros((TB, NH, D), jnp.float32)
+                    for h in range(NKV):
+                        upd = upd + jnp.where(
+                            kvid3 == h,
+                            pv[:, :, h * D:(h + 1) * D], 0.0)
                     acc = acc * alpha.transpose(0, 2, 1) + upd
                     m = m_new
 
-                # current token (exact row the cache write carries)
+                # current token (exact row the cache write carries).
+                # Per-head terms accumulate under kvid3 strip masks —
+                # NOT a concat of per-head slices: the slices carry
+                # (sublane, lane) vreg offsets and Mosaic's concat
+                # rejects offset-mismatched inputs (this exact site was
+                # the compile failure: tpu.concatenate of 8 x
+                # vector<32x2xf32> at offsets {0,0},{2,2},{4,4},...).
+                # Arithmetic relayouts of offset operands ARE lowered,
+                # so where()+add keeps exact f32 numerics.
                 k3t = k3c[b0:b0 + TB]                        # [TB, kv, D]
                 v3t = v3c[b0:b0 + TB]
-                sc_cur = jnp.concatenate(
-                    [jnp.sum(qt[:, h * G:(h + 1) * G, :]
-                             * k3t[:, h:h + 1, :], axis=2)
-                     for h in range(NKV)], axis=1)           # [TB, NH]
-                sc_cur = jnp.where(live, sc_cur, NEG)[:, None, :]
+                sc_cur2 = jnp.zeros((TB, NH), jnp.float32)
+                for h in range(NKV):
+                    sc_cur2 = sc_cur2 + jnp.sum(
+                        jnp.where(kvid3 == h,
+                                  qt * k3t[:, h:h + 1, :], 0.0), axis=2)
+                sc_cur = jnp.where(live, sc_cur2, NEG)[:, None, :]
                 m_new = jnp.maximum(m, sc_cur)
-                p_cur = jnp.where(live[:, None], jnp.exp(sc_cur - m_new),
+                # live3 from the i32 row (bool minor-dim insert would
+                # not lower; see the mask note above)
+                live3 = livei[:, :, None] != 0               # [TB, 1, 1]
+                p_cur = jnp.where(live3, jnp.exp(sc_cur - m_new),
                                   0.0)                       # [TB, 1, NH]
                 alpha = jnp.exp(m - m_new)
                 lsum = lsum * alpha + p_cur
-                vrep = jnp.concatenate(
-                    [jnp.broadcast_to(v3t[:, h:h + 1, :], (TB, G, D))
-                     for h in range(NKV)], axis=1)           # [TB, NH, D]
-                acc = (acc * alpha.transpose(0, 2, 1)
-                       + p_cur.transpose(0, 2, 1) * vrep)
+                pc = p_cur.transpose(0, 2, 1)                # [TB, NH, 1]
+                acc = acc * alpha.transpose(0, 2, 1)
+                for h in range(NKV):
+                    acc = acc + jnp.where(
+                        kvid3 == h, pc * v3t[:, h:h + 1, :], 0.0)
                 out = acc / jnp.maximum(lsum.transpose(0, 2, 1), 1e-30)
                 attn_buf[pl.ds(b0, TB), :] = out.reshape(
                     TB, NH * D).astype(jnp.bfloat16)
