@@ -30,12 +30,14 @@ Design
   with the block-diagonal GQA fold of ops/flash_decode.py — one
   [bs, kv*D] x [kv*D, n_heads] MXU dot scores ALL heads of a stream —
   with online softmax carried in registers across blocks.
-- The CURRENT token's K/V row never round-trips through HBM: its row is
-  written to the cache by an async DMA (masked out of every block read,
-  so the write can land any time before the kernel ends) and its
-  attention contribution is computed analytically in VMEM.  For the int8
-  cache the row is quantize->dequantized first, so the math matches the
-  XLA path, which reads its own row back quantized.
+- The CURRENT token's K/V row never round-trips through HBM: its
+  attention contribution is computed analytically in VMEM (the row is
+  masked out of every block read), and the rows leave the kernel as
+  [L, B, kv, D] outputs that the wrapper merges into the cache with ONE
+  dynamic_update_slice over all layers (an in-kernel 1-row DMA into the
+  [.., S, D] cache is not tile-aligned on S — Mosaic rejects the memref
+  slice).  For the int8 cache the row is quantize->dequantized first, so
+  the math matches the XLA path, which reads its own row back quantized.
 - int8 cache: block scores are computed on the RAW int8 values (exact in
   bf16) and the per-row scales are applied AFTER the dot — exact, because
   the block-diagonal fold keeps each kv head's contribution separate;
@@ -91,8 +93,13 @@ def vmem_bytes(cfg, B: int, quant: bool) -> int:
     scales = (2 * N_BUF_KV * TB * NKV * BLOCK_S * 4) if quant else 0
     attn = B * NH * D * 4
     x = B * H * 4
+    # [L, B, kv, D] current-row outputs (k + v, + f32 scales when
+    # quantized; scale lanes pad kv=8 -> 128)
+    L = getattr(cfg, "n_layers", 28)
+    rows_out = 2 * L * B * NKV * D * kv_elem
+    rows_out += (2 * L * B * 128 * 4) if quant else 0
     transients = B * (6 * H) * 4 + TB * BLOCK_S * H * 2   # rough
-    return ring + kvbuf + scales + attn + x + transients
+    return ring + kvbuf + scales + attn + x + rows_out + transients
 
 
 def supported(cfg, B: int, w, kv_cache, write_idx, valid_mask,
@@ -149,17 +156,20 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
     def kernel(x_ref, rope_c_ref, rope_s_ref, val_ref, live_ref,
                widx_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
                attn_norm_ref, ffn_norm_ref, q_norm_ref, k_norm_ref,
-               # cache refs (values [+ scales]) duplicated as outputs via
-               # input_output_aliases; only the input refs are touched
+               # the cache is READ-only here; the current rows leave the
+               # kernel as [L, B, kv, D] outputs and the caller merges
+               # them with ONE dynamic_update_slice (a 1-row DMA write
+               # into the [.., S, D] cache is not tile-aligned on S —
+               # "Slice shape along dimension 4 must be aligned to
+               # tiling (8)" — so in-kernel row writes cannot lower)
                *refs):
         if quant:
-            (kvv_ref, kvs_ref, kvv_out, kvs_out, y_ref,
-             wbufs, wsems, kbuf, vbuf, ksbuf, vsbuf, kvsems,
-             kwrow, vwrow, kσrow, vσrow, wrsems, attn_buf) = refs
+            (kvv_ref, kvs_ref, krows_ref, vrows_ref, ksc_ref, vsc_ref,
+             y_ref, wbufs, wsems, kbuf, vbuf, ksbuf, vsbuf, kvsems,
+             attn_buf) = refs
         else:
-            (kvv_ref, kvv_out, y_ref,
-             wbufs, wsems, kbuf, vbuf, kvsems,
-             kwrow, vwrow, wrsems, attn_buf) = refs
+            (kvv_ref, krows_ref, vrows_ref, y_ref,
+             wbufs, wsems, kbuf, vbuf, kvsems, attn_buf) = refs
 
         widx = widx_ref[0, 0]
 
@@ -275,52 +285,24 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
             k3 = k3 * c_all[:, None] + pltpu.roll(
                 k3, shift=D // 2, axis=2) * s_all[:, None]
 
-            # ---- current row -> HBM cache (async; reads mask it out).
-            def row_writes(ll):
-                ops = [
-                    pltpu.make_async_copy(
-                        kwrow, kvv_out.at[ll, 0, :, :, pl.ds(widx, 1), :],
-                        wrsems.at[0]),
-                    pltpu.make_async_copy(
-                        vwrow, kvv_out.at[ll, 1, :, :, pl.ds(widx, 1), :],
-                        wrsems.at[1]),
-                ]
-                if quant:
-                    ops += [
-                        pltpu.make_async_copy(
-                            kσrow, kvs_out.at[ll, 0, :, :, pl.ds(widx, 1)],
-                            wrsems.at[2]),
-                        pltpu.make_async_copy(
-                            vσrow, kvs_out.at[ll, 1, :, :, pl.ds(widx, 1)],
-                            wrsems.at[3]),
-                    ]
-                return ops
-
-            # Wait the PREVIOUS layer's row writes first: the row
-            # scratch is shared across layers (the previous DMAs had the
-            # whole previous layer's attention+FFN to land).
-            @pl.when(l > 0)
-            def _():
-                for op in row_writes(l - 1):
-                    op.wait()
+            # ---- current row -> [L, B, kv, D] outputs (the caller
+            # merges all layers into the cache with one DUS)
             if quant:
                 kq, kσ = quantize_row(k3)
                 vq, vσ = quantize_row(v3)
-                kwrow[:, :, 0, :] = kq.astype(jnp.int8)
-                vwrow[:, :, 0, :] = vq.astype(jnp.int8)
-                kσrow[:, :, 0] = kσ[:, :, 0]
-                vσrow[:, :, 0] = vσ[:, :, 0]
+                krows_ref[l] = kq.astype(jnp.int8)
+                vrows_ref[l] = vq.astype(jnp.int8)
+                ksc_ref[l] = kσ[:, :, 0]
+                vsc_ref[l] = vσ[:, :, 0]
                 # dequantized row for the analytic current-token term —
                 # matches the XLA path, which reads its row back quantized
                 k3c = kq * kσ
                 v3c = vq * vσ
             else:
-                kwrow[:, :, 0, :] = k3.astype(jnp.bfloat16)
-                vwrow[:, :, 0, :] = v3.astype(jnp.bfloat16)
-                k3c = kwrow[:, :, 0, :].astype(jnp.float32)
-                v3c = vwrow[:, :, 0, :].astype(jnp.float32)
-            for op in row_writes(l):
-                op.start()
+                krows_ref[l] = k3.astype(jnp.bfloat16)
+                vrows_ref[l] = v3.astype(jnp.bfloat16)
+                k3c = k3.astype(jnp.bfloat16).astype(jnp.float32)
+                v3c = v3.astype(jnp.bfloat16).astype(jnp.float32)
 
             # ---- blocked attention (flash_decode's GQA fold) ----
             qs = q3 * (D ** -0.5)
@@ -489,32 +471,12 @@ def _make_kernel(*, B: int, L: int, S: int, H: int, NH: int, NKV: int,
             take(l, 15)                                      # dummy tile
             return x
 
-        # prime both DMA pipelines, run the layers, drain the row writes
+        # prime both DMA pipelines, run the layers
         for j in range(N_BUF_W - 1):
             w_dma(jnp.int32(0), j).start()
         kv_start(jnp.int32(0), 0, 0)
         x = jax.lax.fori_loop(0, L, body, x_ref[:, :].astype(jnp.float32))
         y_ref[:, :] = x
-        last = jnp.int32(L - 1)
-        drains = [
-            pltpu.make_async_copy(
-                kwrow, kvv_out.at[last, 0, :, :, pl.ds(widx, 1), :],
-                wrsems.at[0]),
-            pltpu.make_async_copy(
-                vwrow, kvv_out.at[last, 1, :, :, pl.ds(widx, 1), :],
-                wrsems.at[1]),
-        ]
-        if quant:
-            drains += [
-                pltpu.make_async_copy(
-                    kσrow, kvs_out.at[last, 0, :, :, pl.ds(widx, 1)],
-                    wrsems.at[2]),
-                pltpu.make_async_copy(
-                    vσrow, kvs_out.at[last, 1, :, :, pl.ds(widx, 1)],
-                    wrsems.at[3]),
-            ]
-        for op in drains:
-            op.wait()
 
     return kernel
 
@@ -540,17 +502,20 @@ def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
                 + [anys] * 4                        # wqkv_t, wo, wgu_t, wdown
                 + [vmem] * 4                        # norms
                 + [anys] * n_cache)                 # cache values (+scales)
-    out_shape = [jax.ShapeDtypeStruct((L, 2, B, NKV, S, D), kv_dt)]
-    out_specs = [anys]
+    # Outputs: the current K/V rows per layer (+ their scales when
+    # quantized) and y. The cache itself is read-only here — the caller
+    # merges the rows with one dynamic_update_slice (an in-kernel 1-row
+    # DMA into the [.., S, D] cache is not tile-aligned on S and Mosaic
+    # rejects the memref slice).
+    out_shape = [jax.ShapeDtypeStruct((L, B, NKV, D), kv_dt),
+                 jax.ShapeDtypeStruct((L, B, NKV, D), kv_dt)]
+    out_specs = [vmem, vmem]
     if quant:
-        out_shape.append(jax.ShapeDtypeStruct((L, 2, B, NKV, S), jnp.float32))
-        out_specs.append(anys)
+        out_shape += [jax.ShapeDtypeStruct((L, B, NKV), jnp.float32),
+                      jax.ShapeDtypeStruct((L, B, NKV), jnp.float32)]
+        out_specs += [vmem, vmem]
     out_shape.append(jax.ShapeDtypeStruct((B, H), jnp.float32))
     out_specs.append(vmem)
-    # cache inputs sit at positions 14(, 15); alias them to outputs 0(, 1)
-    aliases = {14: 0}
-    if quant:
-        aliases[15] = 1
 
     scratch = [
         pltpu.VMEM((N_BUF_W, H, H), jnp.bfloat16),           # weight ring
@@ -566,18 +531,6 @@ def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
         ]
     else:
         scratch += [pltpu.SemaphoreType.DMA((N_BUF_KV, 2))]
-    scratch += [
-        pltpu.VMEM((B, NKV, 1, D), kv_dt),                   # k row out
-        pltpu.VMEM((B, NKV, 1, D), kv_dt),                   # v row out
-    ]
-    if quant:
-        scratch += [
-            pltpu.VMEM((B, NKV, 1), jnp.float32),            # k scales
-            pltpu.VMEM((B, NKV, 1), jnp.float32),            # v scales
-            pltpu.SemaphoreType.DMA((4,)),
-        ]
-    else:
-        scratch += [pltpu.SemaphoreType.DMA((2,))]
     scratch += [pltpu.VMEM((B, NQ), jnp.bfloat16)]           # attn out
 
     return pl.pallas_call(
@@ -585,7 +538,6 @@ def _build_call(B: int, L: int, S: int, H: int, NH: int, NKV: int, D: int,
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        input_output_aliases=aliases,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -650,8 +602,23 @@ def talker_step_fused(layers_w, x: jax.Array, positions: jax.Array,
             layers_w["ffn_norm"].astype(jnp.float32),
             layers_w["q_norm"].astype(jnp.float32),
             layers_w["k_norm"].astype(jnp.float32)]
+    # Merge the kernel's current rows into the cache with ONE DUS over
+    # all layers (in-place under the caller's donated GenState, exactly
+    # like the XLA stack_step's per-layer writes).
     if quant:
-        out_v, out_s, y = call(*args, kv_cache.values, kv_cache.scales)
-        return y, QuantKV(out_v, out_s)
-    out_v, y = call(*args, kv_cache)
-    return y, out_v
+        krows, vrows, ksc, vsc, y = call(*args, kv_cache.values,
+                                         kv_cache.scales)
+        rows = jnp.stack([krows, vrows], axis=1)     # [L, 2, B, kv, D]
+        scs = jnp.stack([ksc, vsc], axis=1)          # [L, 2, B, kv]
+        new_v = jax.lax.dynamic_update_slice(
+            kv_cache.values, rows[:, :, :, :, None, :],
+            (0, 0, 0, 0, widx, 0))
+        new_s = jax.lax.dynamic_update_slice(
+            kv_cache.scales, scs[:, :, :, :, None],
+            (0, 0, 0, 0, widx))
+        return y, QuantKV(new_v, new_s)
+    krows, vrows, y = call(*args, kv_cache)
+    rows = jnp.stack([krows, vrows], axis=1)
+    new_v = jax.lax.dynamic_update_slice(
+        kv_cache, rows[:, :, :, :, None, :], (0, 0, 0, 0, widx, 0))
+    return y, new_v
